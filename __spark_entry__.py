@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship near-dup detection + clustering over sf0.001 documents.
+queries()    — one entry per implemented operator family (SURVEY.md §2).
+oracle_sql() — matching DuckDB SQL for the correctness gate.
 """
 
 from __future__ import annotations
@@ -12,27 +10,33 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash/LSH near-dup clustering over sf0.001 documents —
+    every doc gets (cluster_id, verdict, refers_to) like the reference's
+    crawl-log verdicts (DeDuplicator.java:183-188), computed set-oriented."""
+    from deduplicator_spark.entry_queries import q_dedup_clusters
+
+    clusters = q_dedup_clusters(spark, "/root/testdata/sf0.001")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("doc_id") == F.col("cluster_id"), "novel")
+        .otherwise("duplicate")
+        .alias("verdict"),
+        F.when(F.col("doc_id") != F.col("cluster_id"), F.col("cluster_id")).alias("refers_to_id"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from deduplicator_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from deduplicator_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,58 @@
+"""Frozen pipeline configuration.
+
+The reference scatters its knobs over Spring XML + properties files
+(IndexingLauncher.java:45-73, profile-crawler-beans.cxml:560-620). Here every
+similarity parameter lives in ONE frozen dataclass so the pipeline, the pytest
+oracle, and the driver's DuckDB oracle can never drift (SURVEY.md §7.4 hard
+part #4: "two-level dedup config parity ... frozen in one config object").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- tier 0: exact (ref DigestIndexer / DIGEST_ANY) ---
+    digest_algo: str = "sha256"           # ref uses sha1:BASE32 (CrawlDataItem.java:66-79)
+
+    # --- tier 1: SimHash over pHash bitplanes ---
+    simhash_bits: int = 64
+    phash_bands: int = 4                  # 4 x 16-bit bands -> guarantees recall for
+    phash_band_bits: int = 16             # Hamming distance <= 3 by pigeonhole
+    phash_max_hamming: int = 3            # verified distance for a near-image pair
+
+    # --- tier 2: MinHash/LSH over caption shingles ---
+    shingle_k: int = 3                    # tokens per shingle
+    minhash_perms: int = 128
+    lsh_bands: int = 32                   # 32 bands x 4 rows; P(miss | J=0.8) ~ 5e-8
+    lsh_rows: int = 4
+    jaccard_threshold: float = 0.8        # verified Jaccard for a near-caption pair
+    minhash_seed: int = 42
+
+    # --- tier 3: containment (suffix/shingle) ---
+    containment_threshold: float = 0.9    # |A ∩ B| / |A| for short-in-long
+    containment_min_long_tokens: int = 120
+    containment_max_short_tokens: int = 64
+
+    # --- verification (generalized ref P9 digest sanity check,
+    #     DeDuplicator.java:169-172; PSNR bound from BASELINE.json) ---
+    psnr_min_db: float = 40.0
+
+    # --- skew handling ---
+    salt_buckets: int = 8                 # salting factor for hot LSH band keys
+    hot_band_threshold: int = 1024        # band bucket size above which we salt
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_batch_rows: int = 4096          # bounded Arrow batches for image decode UDFs
+    cc_max_iters: int = 50                # connected-components safety bound
+    checkpoint_every: int = 3             # CC: truncate lineage every N iterations
+
+    def __post_init__(self) -> None:
+        assert self.minhash_perms == self.lsh_bands * self.lsh_rows
+        assert self.simhash_bits == self.phash_bands * self.phash_band_bits
+
+
+DEFAULT = DedupConfig()

@@ -1,0 +1,699 @@
+"""Driver-contract queries: each entry implements one operator family from
+SURVEY.md §2 over the driver's testdata tables, with an exactly-matching
+ANSI-SQL oracle (DuckDB) in ORACLES.
+
+Cross-engine parity rules used throughout (Spark <-> DuckDB):
+  * md5(varchar) -> same lowercase hex in both engines.
+  * tokenization: split on '\\s+' after trim.
+  * doubles that aggregate floats are round()-ed in BOTH engines.
+  * timestamps are emitted as formatted strings (UTC session).
+  * every computed column is aliased identically on both sides (the driver
+    hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .config import DEFAULT
+from .functions.hashing import shingles, tokens
+from .operators.candidates import candidate_pairs_from_bands, canonical_pairs
+from .operators.components import connected_components
+from .operators.minhash import jaccard_verify, minhash_banded, with_shingles
+from .operators.strategies import (
+    classify_verdicts,
+    last_wins_upsert,
+    lookup,
+)
+
+SHINGLE_K = DEFAULT.shingle_k
+JACCARD_T = 0.8
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# captures: reference CrawlDataItem analog derived deterministically from
+# `events` (FIXTURES.md §2). The same derivation exists in SQL (_CAPTURES_SQL)
+# so strategy-join oracles see identical inputs.
+# --------------------------------------------------------------------------
+
+def captures_from_events(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.select(
+        e.alias("probe_id"),
+        F.concat(
+            F.lit("http://www"), (e % 2).cast("string"),
+            F.lit(".shop"), F.col("user_id").cast("string"),
+            F.lit(".is/p"), (e % 5).cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("http://shop"), F.col("user_id").cast("string"),
+            F.lit(".is/p"), (e % 5).cast("string"),
+        ).alias("url_canon"),
+        F.md5(F.concat(F.col("event_type"), F.lit(":"), F.col("user_id").cast("string"))).alias("digest"),
+        F.col("ts"),
+        F.concat(F.lit("rec-"), e.cast("string")).alias("record_id"),
+        F.floor(F.col("value") * 1000).cast("long").alias("bytes_len"),
+        F.when(e % 4 == 0, "text/html")
+        .when(e % 4 == 1, "image/png")
+        .when(e % 4 == 2, "application/pdf")
+        .otherwise("unknown")
+        .alias("mime"),
+        F.when(e % 10 < 8, 200).when(e % 10 == 8, 404).otherwise(0).alias("status"),
+        (e % 3 == 0).alias("is_probe"),
+    )
+
+
+_CAPTURES_SQL = """
+SELECT
+  event_id AS probe_id,
+  'http://www' || CAST(event_id % 2 AS VARCHAR) || '.shop' || CAST(user_id AS VARCHAR)
+    || '.is/p' || CAST(event_id % 5 AS VARCHAR) AS url,
+  'http://shop' || CAST(user_id AS VARCHAR) || '.is/p' || CAST(event_id % 5 AS VARCHAR) AS url_canon,
+  md5(event_type || ':' || CAST(user_id AS VARCHAR)) AS digest,
+  ts,
+  'rec-' || CAST(event_id AS VARCHAR) AS record_id,
+  CAST(floor(value * 1000) AS BIGINT) AS bytes_len,
+  CASE WHEN event_id % 4 = 0 THEN 'text/html'
+       WHEN event_id % 4 = 1 THEN 'image/png'
+       WHEN event_id % 4 = 2 THEN 'application/pdf'
+       ELSE 'unknown' END AS mime,
+  CASE WHEN event_id % 10 < 8 THEN 200 WHEN event_id % 10 = 8 THEN 404 ELSE 0 END AS status,
+  event_id % 3 = 0 AS is_probe
+FROM events
+"""
+
+
+def _probe_index(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F1/F3/F4 gates: status==200 both sides (IndexBuilder.java:147-152,
+    DeDuplicator.java:124-127); index drops text/* mimes (default blacklist
+    '^text/.*', IndexingLauncher.java:101-102)."""
+    c = captures_from_events(events)
+    probe = c.filter(F.col("is_probe") & (F.col("status") == 200)).drop("is_probe")
+    index = (
+        c.filter(~F.col("is_probe") & (F.col("status") == 200))
+        .filter(~F.col("mime").rlike("^text/.*"))
+        .drop("is_probe")
+    )
+    return probe, index
+
+
+_PROBE_SQL = f"""
+WITH cap AS ({_CAPTURES_SQL})
+SELECT * EXCLUDE (is_probe) FROM cap WHERE is_probe AND status = 200
+"""
+_INDEX_SQL = f"""
+WITH cap AS ({_CAPTURES_SQL})
+SELECT * EXCLUDE (is_probe) FROM cap
+WHERE NOT is_probe AND status = 200 AND NOT regexp_matches(mime, '^text/.*')
+"""
+
+
+def _verdict_out(df: DataFrame) -> DataFrame:
+    return df.select(
+        "probe_id",
+        "url",
+        "digest",
+        "verdict",
+        "dup_class",
+        "refers_to_uri",
+        F.date_format("refers_to_date", "yyyy-MM-dd HH:mm:ss").alias("refers_to_date"),
+        "refers_to_record_id",
+    )
+
+
+def _strategy_query(strategy: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        probe, index = _probe_index(load(spark, sf_dir, "events"))
+        return _verdict_out(classify_verdicts(lookup(probe, index, strategy)))
+
+    q.__name__ = f"strategy_{strategy.lower()}"
+    return q
+
+
+def _strategy_oracle(join_cond: str, order_pref: str = "") -> str:
+    """Shared oracle shape for J1-J4: left join + row_number top-1 + verdict."""
+    return f"""
+WITH probe AS ({_PROBE_SQL}), idx AS ({_INDEX_SQL}),
+j AS (
+  SELECT p.probe_id, p.url, p.url_canon, p.digest,
+         i.url AS idx_url, i.url_canon AS idx_url_canon, i.digest AS idx_digest,
+         i.ts AS idx_ts, i.record_id AS idx_record_id,
+         row_number() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY {order_pref} i.ts DESC NULLS LAST, i.record_id ASC NULLS LAST
+         ) AS rn
+  FROM probe p LEFT JOIN idx i ON {join_cond}
+)
+SELECT probe_id, url, digest,
+  CASE WHEN idx_digest IS NULL THEN 'novel' ELSE 'duplicate' END AS verdict,
+  CASE WHEN idx_digest IS NULL THEN NULL
+       WHEN url = idx_url THEN 'exact_url'
+       WHEN url_canon = idx_url_canon THEN 'canonical_url'
+       ELSE 'digest_only' END AS dup_class,
+  idx_url AS refers_to_uri,
+  strftime(idx_ts, '%Y-%m-%d %H:%M:%S') AS refers_to_date,
+  idx_record_id AS refers_to_record_id
+FROM j WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: shingles / jaccard / minhash / clustering
+# --------------------------------------------------------------------------
+
+_SHINGLES_SQL = f"""
+SELECT doc_id,
+  list_distinct(CASE WHEN len(t) >= {SHINGLE_K}
+    THEN list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [array_to_string(t, ' ')] END) AS sh
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+z AS (SELECT doc_id, len(sh) AS n FROM s)
+SELECT p.id_a, p.id_b,
+       round(p.inter * 1.0 / (za.n + zb.n - p.inter), 6) AS jaccard
+FROM p JOIN z za ON za.doc_id = p.id_a JOIN z zb ON zb.doc_id = p.id_b
+WHERE p.inter * 1.0 / (za.n + zb.n - p.inter) >= {JACCARD_T}
+"""
+
+
+def _docs_as_items(docs: DataFrame) -> DataFrame:
+    # zero-padded ids so lexicographic pair canonicalization == numeric order
+    return docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs set-similarity join via inverted shingle index — the
+    scalable exact path (one explode + one equi-join + one groupBy; no cross
+    join). Oracle: identical algorithm in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(tokens(F.col("text")), SHINGLE_K).alias("sh"))
+    e = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    z = sh.select("doc_id", F.size("sh").alias("n"))
+    j = (
+        pairs.join(z.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(z.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jac", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jac") >= JACCARD_T)
+    )
+    return j.select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH candidates + exact-Jaccard verification. With b=32, r=4 the
+    miss probability at J>=0.8 is ~5e-8, so the verified output equals the
+    exact join (same oracle as ngram_jaccard_pairs) at O(n·bands) cost."""
+    docs = _docs_as_items(load(spark, sf_dir, "documents"))
+    cands = candidate_pairs_from_bands(minhash_banded(docs))
+    verified = jaccard_verify(cands, with_shingles(docs), JACCARD_T)
+    return verified.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup edges; every doc gets
+    a cluster id (min reachable doc_id). Oracle: recursive CTE closure."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(
+        canonical_pairs(pairs.select(F.format_string("%012d", "id_a").alias("id_a"),
+                                     F.format_string("%012d", "id_b").alias("id_b"))),
+        nodes=docs.select(F.format_string("%012d", "doc_id").alias("image_id")),
+    )
+    return cc.select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s
+)
+SELECT doc_id, coalesce(least(doc_id, m), doc_id) AS cluster_id
+FROM documents LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = doc_id
+"""
+
+
+def q_exact_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-0 exact dedup table: digest + per-digest group size and
+    representative (ref DIGEST_ANY + last-wins, IndexBuilder.java:227-236)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+    w = Window.partitionBy("digest")
+    return d.select(
+        "doc_id",
+        "digest",
+        F.count("*").over(w).alias("group_n"),
+        F.min("doc_id").over(w).alias("rep_id"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over the shingle set (one-permutation
+    MinHash) — cheap join key for fingerprint-level dedup."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(tokens(F.col("text")), SHINGLE_K).alias("sh"))
+    return sh.select(
+        "doc_id",
+        F.array_min(F.transform("sh", lambda s: F.md5(s))).alias("fingerprint"),
+        F.size("sh").cast("long").alias("n_shingles"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language (training-data telemetry)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("lang", tokens(F.col("text")).alias("t"))
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("t")).alias("total_tokens"),
+            F.round(F.avg(F.size(F.array_distinct("t"))), 6).alias("avg_distinct_tokens"),
+        )
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score buckets: token count, type-token ratio, stopword ratio —
+    the standard cheap text-quality heuristics, groupBy'd into buckets."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    scored = t.select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("n_tok"),
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("ttr"),
+        (F.size(F.array_intersect(F.array_distinct("t"), stop_arr))
+         / F.size(F.array_distinct("t"))).alias("stop_ratio"),
+    )
+    bucket = (
+        F.when(F.col("n_tok") < 20, "short")
+        .when(F.col("ttr") < 0.3, "repetitive")
+        .when(F.col("stop_ratio") < 0.05, "no_stopwords")
+        .otherwise("ok")
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        )
+    )
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword voting with deterministic tie-break)
+    cross-tabulated against the labeled lang column."""
+    docs = load(spark, sf_dir, "documents")
+    profiles = {"en": ("the", "a", "of"), "de": ("der", "und", "das"),
+                "fr": ("le", "la", "et"), "es": ("el", "la", "y"),
+                "zh": ("de", "le", "shi")}
+    t = docs.select("doc_id", "lang", F.array_distinct(tokens(F.col("text"))).alias("t"))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect("t", F.array(*[F.lit(w) for w in words]))).alias("score"),
+            F.lit(lang).alias("guess"),
+        )
+        for lang, words in sorted(profiles.items())
+    ]
+    best = F.array_max(F.array(*scores))  # max by (score, guess) lexicographic
+    return (
+        t.withColumn("guess", best["guess"])
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# embeddings: cosine similarity / ANN
+# --------------------------------------------------------------------------
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 20 query vectors —
+    the ANN baseline (broadcast the tiny query side; one pass over the corpus)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = F.broadcast(queries).crossJoin(emb).filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("rank").cast("long").alias("rank"),
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# relational core (scan/filter/join/agg/window over the TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return (
+        orders.join(rev, orders["o_orderkey"] == rev["l_orderkey"])
+        .select("o_orderkey", "o_orderpriority", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"))
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 analog: JSON extra-info parse (CrawlLogIterator.java:203-212) —
+    regexp-based so the oracle needs no JSON extension."""
+    e = load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
+             F.round(F.avg("k"), 6).alias("avg_k"))
+    )
+
+
+def q_events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form of the streaming aggregation)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                  "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_lastwins_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 last-wins upsert: latest capture per (url, digest)."""
+    c = captures_from_events(load(spark, sf_dir, "events")).filter(F.col("status") == 200)
+    idx = last_wins_upsert(
+        c.limit(0).select("url", "digest", "ts", "record_id"),
+        c.select("url", "digest", "ts", "record_id"),
+    )
+    return idx.select(
+        "url", "digest", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "record_id"
+    )
+
+
+def q_dup_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3: per-class duplicate counts + byte totals over DIGEST_ANY verdicts."""
+    probe, index = _probe_index(load(spark, sf_dir, "events"))
+    v = classify_verdicts(lookup(probe, index, "DIGEST_ANY"))
+    return (
+        v.groupBy("verdict", "dup_class")
+        .agg(F.count("*").alias("n"), F.sum("bytes_len").alias("bytes_total"))
+    )
+
+
+def q_novel_by_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/J5 analog: definite-miss short-circuit as a left_anti join (the
+    set-oriented Bloom gate; Spark's runtime bloom pruning applies here)."""
+    probe, index = _probe_index(load(spark, sf_dir, "events"))
+    novel = probe.join(index.select("digest").distinct(), "digest", "left_anti")
+    return novel.groupBy("mime").agg(F.count("*").alias("n_novel"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_customer_stats": q_region_customer_stats,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "events_json_stats": q_events_json_stats,
+    "events_minute_rollup": q_events_minute_rollup,
+    "strategy_url_exact": _strategy_query("URL_EXACT"),
+    "strategy_url_canonical": _strategy_query("URL_CANONICAL"),
+    "strategy_digest_any": _strategy_query("DIGEST_ANY"),
+    "strategy_digest_url_preferred": _strategy_query("DIGEST_URL_PREFERRED"),
+    "lastwins_index": q_lastwins_index,
+    "dup_class_stats": q_dup_class_stats,
+    "novel_by_antijoin": q_novel_by_antijoin,
+    "exact_digest_documents": q_exact_digest_documents,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "langid_confusion": q_langid_confusion,
+    "embedding_topk": q_embedding_topk,
+}
+
+
+_LANGID_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT lang,
+    (SELECT max(s) FROM (VALUES
+      (struct_pack(score := len(list_intersect(toks, ['der','und','das'])), guess := 'de')),
+      (struct_pack(score := len(list_intersect(toks, ['the','a','of'])), guess := 'en')),
+      (struct_pack(score := len(list_intersect(toks, ['el','la','y'])), guess := 'es')),
+      (struct_pack(score := len(list_intersect(toks, ['le','la','et'])), guess := 'fr')),
+      (struct_pack(score := len(list_intersect(toks, ['de','le','shi'])), guess := 'zh'))
+    ) AS v(s)) AS best
+  FROM t
+)
+SELECT lang, best.guess AS guess, count(*) AS n FROM scored GROUP BY 1, 2
+"""
+
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "top_revenue_orders": """
+WITH rev AS (
+  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_orderpriority, revenue
+FROM orders JOIN rev ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+""",
+    "region_customer_stats": """
+SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 2
+""",
+    "events_json_stats": """
+SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+  round(avg(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)), 6) AS avg_k
+FROM events GROUP BY event_type
+""",
+    "events_minute_rollup": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+  count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "strategy_url_exact": _strategy_oracle("p.url = i.url AND p.digest = i.digest"),
+    "strategy_url_canonical": _strategy_oracle("p.url_canon = i.url_canon AND p.digest = i.digest"),
+    "strategy_digest_any": _strategy_oracle("p.digest = i.digest"),
+    "strategy_digest_url_preferred": _strategy_oracle(
+        "p.digest = i.digest",
+        "CAST(p.url = i.url AS INTEGER) DESC NULLS LAST, "
+        "CAST(p.url_canon = i.url_canon AS INTEGER) DESC NULLS LAST,",
+    ),
+    "lastwins_index": f"""
+WITH cap AS ({_CAPTURES_SQL})
+SELECT url, digest, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, record_id
+FROM (
+  SELECT url, digest, ts, record_id,
+         row_number() OVER (PARTITION BY url, digest ORDER BY ts DESC, record_id DESC) AS rn
+  FROM cap WHERE status = 200
+) WHERE rn = 1
+""",
+    "dup_class_stats": f"""
+WITH probe AS ({_PROBE_SQL}), idx AS ({_INDEX_SQL}),
+j AS (
+  SELECT p.probe_id, p.url, p.url_canon, p.bytes_len,
+         i.url AS idx_url, i.url_canon AS idx_url_canon, i.digest AS idx_digest,
+         row_number() OVER (PARTITION BY p.probe_id
+                            ORDER BY i.ts DESC NULLS LAST, i.record_id ASC NULLS LAST) AS rn
+  FROM probe p LEFT JOIN idx i ON p.digest = i.digest
+)
+SELECT CASE WHEN idx_digest IS NULL THEN 'novel' ELSE 'duplicate' END AS verdict,
+  CASE WHEN idx_digest IS NULL THEN NULL
+       WHEN url = idx_url THEN 'exact_url'
+       WHEN url_canon = idx_url_canon THEN 'canonical_url'
+       ELSE 'digest_only' END AS dup_class,
+  count(*) AS n, CAST(sum(bytes_len) AS BIGINT) AS bytes_total
+FROM j WHERE rn = 1 GROUP BY 1, 2
+""",
+    "novel_by_antijoin": f"""
+WITH probe AS ({_PROBE_SQL}), idx AS ({_INDEX_SQL})
+SELECT mime, count(*) AS n_novel FROM probe p
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.digest = p.digest)
+GROUP BY mime
+""",
+    "exact_digest_documents": """
+SELECT doc_id, md5(text) AS digest,
+  count(*) OVER (PARTITION BY md5(text)) AS group_n,
+  min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+FROM documents
+""",
+    "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+    "dedup_clusters": _CLUSTERS_SQL,
+    "doc_fingerprint": f"""
+WITH s AS ({_SHINGLES_SQL})
+SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint,
+       CAST(len(sh) AS BIGINT) AS n_shingles
+FROM s
+""",
+    "token_stats": """
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+  round(avg(len(list_distinct(string_split_regex(trim(text), '\\s+')))), 6) AS avg_distinct_tokens
+FROM documents GROUP BY lang
+""",
+    "quality_scores": """
+WITH t AS (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\\s+') AS toks,
+    list_distinct(string_split_regex(trim(text), '\\s+')) AS dtoks
+  FROM documents
+),
+scored AS (
+  SELECT len(toks) AS n_tok,
+    len(dtoks) * 1.0 / len(toks) AS ttr,
+    len(list_intersect(dtoks, ['the','a','of','and','to','in'])) * 1.0 / len(dtoks) AS stop_ratio
+  FROM t
+)
+SELECT CASE WHEN n_tok < 20 THEN 'short'
+            WHEN ttr < 0.3 THEN 'repetitive'
+            WHEN stop_ratio < 0.05 THEN 'no_stopwords'
+            ELSE 'ok' END AS bucket,
+  count(*) AS n, round(avg(n_tok), 6) AS avg_tokens, round(avg(ttr), 6) AS avg_ttr
+FROM scored GROUP BY 1
+""",
+    "langid_confusion": _LANGID_SQL,
+    "embedding_topk": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, vec_id,
+    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM q CROSS JOIN emb WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id AS neighbor_id, rank, round(cos, 6) AS cos
+FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+}

@@ -1,0 +1,98 @@
+"""Tier 3 — containment: a short caption embedded in a long caption.
+
+Jaccard under-scores containment (a 40-token caption inside a 200-token one
+has J ~= 0.2 but containment |A∩B|/|A| = 1.0), so long captions get their own
+pass. The north star names a suffix-array pass; the *distributed* shape is an
+inverted probe: the short side exposes its p smallest shingle-hashes (a
+deterministic sample that any superset must also contain — the min of a
+hashed set is order-free), the long side exposes all shingle hashes, the
+candidate join is (hash) equi-join, and verification is exact shingle-set
+containment. A partition-local suffix-array verifier (mapInPandas) confirms
+*verbatim* substring containment for verified pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, DedupConfig
+from .candidates import canonical_pairs
+from .minhash import with_shingles
+
+
+def _probes(shingles_col, p: int):
+    """p smallest xxhash64 values of the shingle set — contained-set invariant:
+    if A ⊆ B then min_p(h(A)) ⊆ h(B)."""
+    hashed = F.transform(shingles_col, lambda s: F.xxhash64(s))
+    return F.slice(F.array_sort(hashed), 1, p)
+
+
+def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """(id_a, id_b, tier='containment', score=|A∩B|/|A|) with short ⊆-ish long.
+
+    id_a/id_b keep canonical order; the *short* side is the contained one.
+    """
+    sh = with_shingles(images, cfg).select(
+        "image_id", "shingles", F.size(F.split(F.trim("caption"), r"\s+")).alias("n_tok")
+    )
+    short = sh.filter(F.col("n_tok") <= cfg.containment_max_short_tokens)
+    long_ = sh.filter(F.col("n_tok") >= cfg.containment_min_long_tokens)
+
+    probe = short.select(
+        F.col("image_id").alias("id_s"),
+        F.explode(_probes(F.col("shingles"), 4)).alias("hash"),
+    )
+    target = long_.select(
+        F.col("image_id").alias("id_l"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hash"),
+    )
+    cands = probe.join(target, "hash").select("id_s", "id_l").distinct()
+
+    a = short.select(F.col("image_id").alias("id_s"), F.col("shingles").alias("sh_s"))
+    b = long_.select(F.col("image_id").alias("id_l"), F.col("shingles").alias("sh_l"))
+    inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_l")))
+    verified = (
+        cands.join(a, "id_s").join(b, "id_l")
+        .withColumn("containment", inter / F.greatest(F.size("sh_s"), F.lit(1)))
+        .filter(F.col("containment") >= cfg.containment_threshold)
+    )
+    return (
+        canonical_pairs(verified.select(F.col("id_s").alias("id_a"), F.col("id_l").alias("id_b")))
+        .join(
+            verified.select(
+                F.least("id_s", "id_l").alias("id_a"),
+                F.greatest("id_s", "id_l").alias("id_b"),
+                "containment",
+            ),
+            ["id_a", "id_b"],
+        )
+        .select("id_a", "id_b", F.lit("containment").alias("tier"),
+                F.col("containment").alias("score"))
+    )
+
+
+def verify_substring_pairs(pairs_with_text: DataFrame) -> DataFrame:
+    """Verbatim-substring check via partition-local suffix search.
+
+    Input: (id_a, id_b, text_short, text_long); output adds is_substring.
+    Python's str.find is a C-level two-way string search — per Arrow batch,
+    no per-row Python overhead beyond the call itself. At cluster scale this
+    runs only on tier-3 verified candidates (tiny relative to n).
+    """
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            found = [
+                t_long.find(t_short) >= 0
+                for t_short, t_long in zip(pdf["text_short"], pdf["text_long"])
+            ]
+            out = pdf[["id_a", "id_b"]].copy()
+            out["is_substring"] = found
+            yield out
+
+    return pairs_with_text.mapInPandas(
+        check, schema="id_a string, id_b string, is_substring boolean"
+    )

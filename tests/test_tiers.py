@@ -1,0 +1,122 @@
+"""Per-tier operator unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicator_spark.config import DEFAULT
+from deduplicator_spark.functions.hashing import (
+    minhash_signature,
+    shingles,
+    simhash64,
+    tokens,
+)
+from deduplicator_spark.operators.candidates import candidate_pairs_from_bands
+from deduplicator_spark.operators.containment import containment_pairs, verify_substring_pairs
+from deduplicator_spark.operators.exact import exact_groups, exact_pairs
+from deduplicator_spark.operators.minhash import (
+    minhash_banded,
+    minhash_signatures_pandas,
+    near_caption_pairs,
+)
+from deduplicator_spark.operators.simhash import near_image_pairs
+from deduplicator_spark.synth import _kind  # deterministic plant roles
+
+
+def test_exact_pairs_are_planted_copies(spark, images_500):
+    pairs = {(r["id_a"], r["id_b"]) for r in exact_pairs(images_500).collect()}
+    planted = {i for i in range(500) if _kind(i) == "exact"}
+    found_b = {int(b.split("-")[1]) for _, b in pairs}
+    assert planted <= found_b
+    # star edges: id_a is always the group minimum
+    for a, b in pairs:
+        assert a < b
+
+
+def test_exact_groups_sizes(spark, images_500):
+    g = exact_groups(images_500)
+    assert g.agg(F.sum("n")).collect()[0][0] == 500
+    assert g.filter("n > 1").count() > 0
+
+
+def test_near_image_recall(spark, images_500):
+    pairs = near_image_pairs(images_500)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    found_ids = {b for _, b in found} | {a for a, _ in found}
+    planted = {f"img-{i:012d}" for i in range(500) if _kind(i) in ("reencode", "noise")}
+    missing = planted - found_ids
+    assert not missing, f"near-image copies missed by pHash banding: {sorted(missing)[:5]}"
+
+
+def test_minhash_column_vs_pandas_parity_on_band_collisions(spark, images_500):
+    """The two MinHash implementations use different hash families, so the
+    *signatures* differ, but both must produce identical candidate structure
+    for identical captions (hot template) and find the planted 1-edit pairs."""
+    col_pairs = candidate_pairs_from_bands(minhash_banded(images_500))
+    got = {(r["id_a"], r["id_b"]) for r in col_pairs.collect()}
+    planted = {
+        i for i in range(500) if _kind(i) == "near_caption"
+    }
+    found_b = {int(b.split("-")[1]) for _, b in got} | {int(a.split("-")[1]) for a, _ in got}
+    assert planted <= found_b
+
+
+def test_minhash_pandas_signature_shape(spark, images_500):
+    sig = minhash_signatures_pandas(images_500.limit(20))
+    rows = sig.collect()
+    assert all(len(r["sig"]) == DEFAULT.minhash_perms for r in rows)
+
+
+def test_near_caption_threshold_respected(spark, images_500):
+    pairs = near_caption_pairs(images_500)
+    assert pairs.filter(f"score < {DEFAULT.jaccard_threshold}").count() == 0
+    # planted 3-edit (below) pairs are absent
+    below_ids = {f"img-{i:012d}" for i in range(500) if _kind(i) == "near_caption_below"}
+    got_ids = {r["id_b"] for r in pairs.collect()} | {r["id_a"] for r in pairs.collect()}
+    assert not (below_ids & got_ids)
+
+
+def test_containment_finds_planted_embeddings(spark, images_500):
+    pairs = containment_pairs(images_500)
+    found = set()
+    for r in pairs.collect():
+        found.add(r["id_a"]); found.add(r["id_b"])
+    planted = {f"img-{i:012d}" for i in range(500) if _kind(i) == "containment"}
+    missing = planted - found
+    assert not missing, f"containment pairs missed: {sorted(missing)[:5]}"
+    assert pairs.filter("score < 0.9").count() == 0
+
+
+def test_substring_verifier(spark):
+    df = spark.createDataFrame(
+        [("a", "b", "x y z", "w x y z q"), ("c", "d", "nope", "w x y z")],
+        "id_a string, id_b string, text_short string, text_long string",
+    )
+    got = {r["id_a"]: r["is_substring"] for r in verify_substring_pairs(df).collect()}
+    assert got == {"a": True, "c": False}
+
+
+def test_shingles_and_simhash_basics(spark):
+    df = spark.createDataFrame([("a b c d", ), ("a b",)], "t string")
+    out = df.select(
+        shingles(tokens(F.col("t"))).alias("sh"),
+        simhash64(tokens(F.col("t"))).alias("sim"),
+    ).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == ["a b"]  # shorter than k -> whole string
+    assert isinstance(out[0]["sim"], int)
+
+
+def test_minhash_signature_identical_captions_identical_sigs(spark):
+    df = spark.createDataFrame([("x", "a b c d e f g"), ("y", "a b c d e f g")], "id string, c string")
+    sigs = df.select(minhash_signature(shingles(tokens(F.col("c")))).alias("s")).collect()
+    assert sigs[0]["s"] == sigs[1]["s"]
+
+
+def test_candidate_cap_star_fallback(spark):
+    # 20 ids in one bucket > pair_cap=16 -> star edges to the minimum
+    rows = [(f"id{i:02d}", 0, 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "image_id string, band int, key long")
+    pairs = candidate_pairs_from_bands(df, pair_cap=16).collect()
+    assert len(pairs) == 19
+    assert all(r["id_a"] == "id00" for r in pairs)
