@@ -23,7 +23,7 @@ from .config import DEFAULT
 from .functions.hashing import shingles, tokens
 from .operators.candidates import candidate_pairs_from_bands, canonical_pairs
 from .operators.components import connected_components
-from .operators.minhash import jaccard_verify, minhash_banded, with_shingles
+from .operators.minhash import jaccard_verify, minhash_banded_arrow, with_shingles
 from .operators.strategies import (
     classify_verdicts,
     last_wins_upsert,
@@ -232,7 +232,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss probability at J>=0.8 is ~5e-8, so the verified output equals the
     exact join (same oracle as ngram_jaccard_pairs) at O(n·bands) cost."""
     docs = _docs_as_items(load(spark, sf_dir, "documents"))
-    cands = candidate_pairs_from_bands(minhash_banded(docs))
+    cands = candidate_pairs_from_bands(minhash_banded_arrow(docs))
     verified = jaccard_verify(cands, with_shingles(docs), JACCARD_T)
     return verified.select(
         F.col("id_a").cast("long").alias("id_a"),
