@@ -23,7 +23,11 @@ from .config import DEFAULT
 from .functions.hashing import shingles, tokens
 from .operators.candidates import candidate_pairs_from_bands, canonical_pairs
 from .operators.components import connected_components
-from .operators.minhash import jaccard_verify, minhash_banded_arrow, with_shingles
+from .operators.minhash import (
+    banded_from_prepared,
+    jaccard_verify,
+    prepared_features,
+)
 from .operators.strategies import (
     classify_verdicts,
     last_wins_upsert,
@@ -232,8 +236,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss probability at J>=0.8 is ~5e-8, so the verified output equals the
     exact join (same oracle as ngram_jaccard_pairs) at O(n·bands) cost."""
     docs = _docs_as_items(load(spark, sf_dir, "documents"))
-    cands = candidate_pairs_from_bands(minhash_banded_arrow(docs))
-    verified = jaccard_verify(cands, with_shingles(docs), JACCARD_T)
+    prep = prepared_features(docs)
+    cands = candidate_pairs_from_bands(banded_from_prepared(prep))
+    verified = jaccard_verify(cands, prep, JACCARD_T, col="sh_hashes")
     return verified.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

@@ -21,39 +21,36 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, DedupConfig
 from .candidates import canonical_pairs
-from .minhash import with_shingles
 
 
-def _probes(shingles_col, p: int):
-    """p smallest xxhash64 values of the shingle set — contained-set invariant:
-    if A ⊆ B then min_p(h(A)) ⊆ h(B)."""
-    hashed = F.transform(shingles_col, lambda s: F.xxhash64(s))
-    return F.slice(F.array_sort(hashed), 1, p)
-
-
-def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
+                      prepared: DataFrame | None = None) -> DataFrame:
     """(id_a, id_b, tier='containment', score=|A∩B|/|A|) with short ⊆-ish long.
 
     id_a/id_b keep canonical order; the *short* side is the contained one.
-    """
-    sh = with_shingles(images, cfg).select(
-        "image_id", "shingles", F.size(F.split(F.trim("caption"), r"\s+")).alias("n_tok")
-    )
+    Works on the hashed shingle sets from prepared_features (sh_hashes is
+    SORTED, so the 4 smallest hashes — a deterministic sample any superset
+    must also contain: if A ⊆ B then min_p(h(A)) ⊆ h(B) — are a plain
+    slice(1..4)). Pass a persisted ``prepared`` to share the caption scan
+    with tier 2."""
+    from .minhash import prepared_features
+
+    sh = prepared if prepared is not None else prepared_features(images, cfg)
     short = sh.filter(F.col("n_tok") <= cfg.containment_max_short_tokens)
     long_ = sh.filter(F.col("n_tok") >= cfg.containment_min_long_tokens)
 
     probe = short.select(
         F.col("image_id").alias("id_s"),
-        F.explode(_probes(F.col("shingles"), 4)).alias("hash"),
+        F.explode(F.slice("sh_hashes", 1, 4)).alias("hash"),
     )
     target = long_.select(
         F.col("image_id").alias("id_l"),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hash"),
+        F.explode("sh_hashes").alias("hash"),
     )
     cands = probe.join(target, "hash").select("id_s", "id_l").distinct()
 
-    a = short.select(F.col("image_id").alias("id_s"), F.col("shingles").alias("sh_s"))
-    b = long_.select(F.col("image_id").alias("id_l"), F.col("shingles").alias("sh_l"))
+    a = short.select(F.col("image_id").alias("id_s"), F.col("sh_hashes").alias("sh_s"))
+    b = long_.select(F.col("image_id").alias("id_l"), F.col("sh_hashes").alias("sh_l"))
     inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_l")))
     verified = (
         cands.join(a, "id_s").join(b, "id_l")

@@ -45,11 +45,14 @@ def minhash_banded(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
 
 
 def jaccard_verify(cands: DataFrame, shingled: DataFrame,
-                   threshold: float) -> DataFrame:
-    """Join candidate pairs back to shingle sets; exact Jaccard, JVM-side."""
-    sh = shingled.select("image_id", "shingles")
-    a = sh.withColumnRenamed("image_id", "id_a").withColumnRenamed("shingles", "sh_a")
-    b = sh.withColumnRenamed("image_id", "id_b").withColumnRenamed("shingles", "sh_b")
+                   threshold: float, col: str = "shingles") -> DataFrame:
+    """Join candidate pairs back to shingle sets; exact Jaccard, JVM-side.
+
+    ``col`` is the set column: "shingles" (array<string>) or "sh_hashes"
+    (array<long> from prepared_features — preferred: long comparisons)."""
+    sh = shingled.select("image_id", col)
+    a = sh.withColumnRenamed("image_id", "id_a").withColumnRenamed(col, "sh_a")
+    b = sh.withColumnRenamed("image_id", "id_b").withColumnRenamed(col, "sh_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -60,16 +63,22 @@ def jaccard_verify(cands: DataFrame, shingled: DataFrame,
 
 
 def near_caption_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
-                       use_arrow: bool = True) -> DataFrame:
+                       use_arrow: bool = True,
+                       prepared: DataFrame | None = None) -> DataFrame:
     """(id_a, id_b, tier='near_caption', score=jaccard).
 
     use_arrow selects the batched numpy signature path (default; see below)
     vs the pure-Column path; both feed the same exact-Jaccard verification,
-    so the output pairs are identical either way."""
-    shingled = with_shingles(images, cfg)
-    banded = (minhash_banded_arrow if use_arrow else minhash_banded)(images, cfg)
-    cands = candidate_pairs_from_bands(banded)
-    verified = jaccard_verify(cands, shingled, cfg.jaccard_threshold)
+    so the output pairs are identical either way. Pass a persisted
+    ``prepared_features`` frame to share the caption scan with tier 3."""
+    if use_arrow:
+        prep = prepared if prepared is not None else prepared_features(images, cfg)
+        cands = candidate_pairs_from_bands(banded_from_prepared(prep))
+        verified = jaccard_verify(cands, prep, cfg.jaccard_threshold, col="sh_hashes")
+    else:
+        shingled = with_shingles(images, cfg)
+        cands = candidate_pairs_from_bands(minhash_banded(images, cfg))
+        verified = jaccard_verify(cands, shingled, cfg.jaccard_threshold)
     return verified.select(
         "id_a", "id_b",
         F.lit("near_caption").alias("tier"),
@@ -111,27 +120,32 @@ def _perm_coeffs(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _batch_signatures(captions, cfg: DedupConfig,
-                      a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n_rows, nperm) uint64 MinHash signatures for a batch of captions.
+def _batch_shingle_hashes(captions, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hash every caption's distinct k-shingles once (C-level siphash).
 
-    One flat shingle list per batch -> one C-level hash pass -> permutation
-    minima via minimum.reduceat (perms chunked to bound memory at
-    ~len(flat) x 32 x 8 bytes)."""
-    k = cfg.shingle_k
+    Returns (base_hashes uint64 flat, offsets intp len n+1, n_tok int32)."""
     flat: list[str] = []
     offsets = [0]
-    for cap in captions:
+    ntok = np.empty(len(captions), dtype=np.int32)
+    for r, cap in enumerate(captions):
         toks = cap.split()
+        ntok[r] = len(toks)
         if len(toks) >= k:
             sh = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
         else:
             sh = {" ".join(toks)}
         flat.extend(sh)
         offsets.append(len(flat))
-    n = len(offsets) - 1
     base = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
-    offs = np.asarray(offsets[:-1], dtype=np.intp)
+    return base, np.asarray(offsets, dtype=np.intp), ntok
+
+
+def _signatures_from_hashes(base: np.ndarray, offsets: np.ndarray,
+                            cfg: DedupConfig, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_rows, nperm) uint64 MinHash signatures: permutation minima via
+    minimum.reduceat (perms chunked to bound memory at ~len(base) x 32 x 8 B)."""
+    n = len(offsets) - 1
+    offs = offsets[:-1]
     sig = np.empty((n, cfg.minhash_perms), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j0 in range(0, cfg.minhash_perms, 32):
@@ -139,6 +153,12 @@ def _batch_signatures(captions, cfg: DedupConfig,
             p = base[:, None] * a[None, j0:j1] + b[None, j0:j1]
             sig[:, j0:j1] = np.minimum.reduceat(p, offs, axis=0)
     return sig
+
+
+def _batch_signatures(captions, cfg: DedupConfig,
+                      a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    base, offsets, _ = _batch_shingle_hashes(captions, cfg.shingle_k)
+    return _signatures_from_hashes(base, offsets, cfg, a, b)
 
 
 def _band_keys(sig: np.ndarray, cfg: DedupConfig) -> np.ndarray:
@@ -170,26 +190,51 @@ def minhash_signatures_pandas(images: DataFrame, cfg: DedupConfig = DEFAULT) -> 
     )
 
 
-def minhash_banded_arrow(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
-    """(image_id, band, key) — exploded LSH band keys, signatures + banding
-    computed inside one Arrow batch pass (no 128-element array column ever
-    materializes in the plan; output is n x lsh_bands rows)."""
+def prepared_features(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """One Arrow pass computing every caption-derived feature the caption
+    tiers need: (image_id, n_tok, sh_hashes sorted array<long>, band_keys
+    array<long>[lsh_bands]).
+
+    The shingle HASHES replace shingle strings everywhere downstream:
+    array_intersect on longs is far cheaper than on strings, the base hash is
+    computed exactly once per caption (instead of once per join side per
+    tier), and |A ∩ B| / |A ∪ B| on 64-bit hashed sets equals the string-set
+    Jaccard up to ~2^-64 collision probability. Persist this in pipelines and
+    share it across tiers 2 and 3."""
     a, b = _perm_coeffs(cfg)
-    bands = cfg.lsh_bands
+    k = cfg.shingle_k
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sig = _batch_signatures(pdf["caption"], cfg, a, b)
+            base, offsets, ntok = _batch_shingle_hashes(pdf["caption"], k)
+            sig = _signatures_from_hashes(base, offsets, cfg, a, b)
             keys = _band_keys(sig, cfg)
-            n = len(pdf)
+            signed = base.view(np.int64)
             yield pd.DataFrame({
-                "image_id": np.repeat(pdf["image_id"].to_numpy(), bands),
-                "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                "key": keys.reshape(-1),
+                "image_id": pdf["image_id"],
+                "n_tok": ntok,
+                "sh_hashes": [
+                    np.sort(signed[offsets[i]:offsets[i + 1]]).tolist()
+                    for i in range(len(pdf))
+                ],
+                "band_keys": list(keys),
             })
 
     return images.select("image_id", "caption").mapInPandas(
-        gen, schema="image_id string, band int, key long"
+        gen,
+        schema="image_id string, n_tok int, sh_hashes array<long>, band_keys array<long>",
     )
+
+
+def banded_from_prepared(prepared: DataFrame) -> DataFrame:
+    """(image_id, band, key) from prepared_features (band = position)."""
+    return prepared.select(
+        "image_id", F.posexplode("band_keys").alias("band", "key")
+    )
+
+
+def minhash_banded_arrow(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """(image_id, band, key) — exploded LSH band keys via the batched path."""
+    return banded_from_prepared(prepared_features(images, cfg))

@@ -40,6 +40,13 @@ def candidate_edges(images: DataFrame, cfg: DedupConfig = DEFAULT,
                     verify_pixels: bool = True) -> DataFrame:
     """Union of verified duplicate edges across the enabled tiers."""
     parts = []
+    prepared = None
+    if "near_caption" in tiers or "containment" in tiers:
+        # one Arrow pass over captions shared by tiers 2+3 (shingle hashes,
+        # token counts, LSH band keys); cached — a few longs per row
+        from ..operators.minhash import prepared_features
+
+        prepared = prepared_features(images, cfg).persist()
     if "exact" in tiers:
         parts.append(exact_pairs(images))
     if "near_image" in tiers:
@@ -48,9 +55,9 @@ def candidate_edges(images: DataFrame, cfg: DedupConfig = DEFAULT,
             ni = verify_image_pairs(ni, images, cfg)
         parts.append(ni)
     if "near_caption" in tiers:
-        parts.append(near_caption_pairs(images, cfg))
+        parts.append(near_caption_pairs(images, cfg, prepared=prepared))
     if "containment" in tiers:
-        parts.append(containment_pairs(images, cfg))
+        parts.append(containment_pairs(images, cfg, prepared=prepared))
     edges = parts[0]
     for p in parts[1:]:
         edges = edges.unionByName(p)
