@@ -494,6 +494,52 @@ def q_lastwins_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/P3/P5/P6/F2/F8: Heritrix crawl.log lines are RENDERED from events
+    (deterministic 13-field format incl. 17-digit fetch timestamp with
+    +duration tail, sha1:-prefixed digest, revisit annotation, JSON
+    extra-info on revisit rows only), then parsed back with the real
+    crawl-log source operator. The oracle derives the expected parsed rows
+    directly — so the whole render->parse round trip is verified."""
+    from .sources.crawl_log import parse_crawl_log_lines
+
+    c = captures_from_events(load(spark, sf_dir, "events"))
+    is_rev = F.col("probe_id") % 5 == 0
+    line = F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.col("status").cast("string"),
+        F.col("bytes_len").cast("string"),
+        F.col("url"),
+        F.lit("L"),
+        F.lit("-"),
+        F.col("mime"),
+        F.lit("#042"),
+        F.concat(F.date_format("ts", "yyyyMMddHHmmss"), F.lit("000+"),
+                 (F.col("probe_id") % 900 + 100).cast("string")),
+        F.concat(F.lit("sha1:"), F.col("digest")),
+        F.lit("-"),
+        F.when(is_rev, "duplicate:digest,Revisit:IdenticalPayloadDigest").otherwise("-"),
+        F.when(is_rev, F.concat(
+            F.lit('{"RevisitProfile":"uri:revisit","RevisitRefersToURI":"'),
+            F.col("url_canon"),
+            F.lit('","RevisitRefersToDate":"2020-01-01T00:00:00Z"}'),
+        )),
+    )
+    parsed = parse_crawl_log_lines(c.select(line.alias("value")))
+    return parsed.select(
+        "url",
+        "status",
+        "bytes_len",
+        "mime",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("fetch_ts"),
+        "digest",
+        "digest_stripped",
+        "revisit",
+        "original_url",
+    )
+
+
 def q_dup_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3: per-class duplicate counts + byte totals over DIGEST_ANY verdicts."""
     probe, index = _probe_index(load(spark, sf_dir, "events"))
@@ -523,6 +569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strategy_url_canonical": _strategy_query("URL_CANONICAL"),
     "strategy_digest_any": _strategy_query("DIGEST_ANY"),
     "strategy_digest_url_preferred": _strategy_query("DIGEST_URL_PREFERRED"),
+    "crawl_log_parse": q_crawl_log_parse,
     "lastwins_index": q_lastwins_index,
     "dup_class_stats": q_dup_class_stats,
     "novel_by_antijoin": q_novel_by_antijoin,
@@ -612,6 +659,16 @@ FROM events GROUP BY 1, 2
         "CAST(p.url = i.url AS INTEGER) DESC NULLS LAST, "
         "CAST(p.url_canon = i.url_canon AS INTEGER) DESC NULLS LAST,",
     ),
+    "crawl_log_parse": f"""
+WITH cap AS ({_CAPTURES_SQL})
+SELECT url, status, bytes_len, mime,
+  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS fetch_ts,
+  'sha1:' || digest AS digest,
+  digest AS digest_stripped,
+  probe_id % 5 = 0 AS revisit,
+  CASE WHEN probe_id % 5 = 0 THEN url_canon END AS original_url
+FROM cap WHERE status > 0
+""",
     "lastwins_index": f"""
 WITH cap AS ({_CAPTURES_SQL})
 SELECT url, digest, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, record_id

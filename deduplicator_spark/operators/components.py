@@ -47,31 +47,41 @@ def connected_components(
         .distinct()
         .persist()
     )
-    endpoints = edges.select(F.col("id_a").alias(id_col)).distinct()
-    labels = endpoints.withColumn("label", F.col(id_col))
+    # iteration 1 fused into label construction: label(v) = min(v, neighbors)
+    # via ONE union+groupBy — no join (star-shaped tiers converge right here)
+    labels = (
+        edges.select(F.col("id_a").alias(id_col), F.col("id_b").alias("label"))
+        .unionByName(edges.select(F.col("id_a").alias(id_col),
+                                  F.col("id_a").alias("label")))
+        .groupBy(id_col)
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
 
     for it in range(cfg.cc_max_iters):
-        # neighbor minimum, one shuffle: edges ⋈ labels(dst) -> min per src
+        # one join (edges ⋈ labels) + two groupBys per round; convergence is
+        # detected by an order-invariant checksum of the label assignment
+        # (one tiny agg on the checkpointed frame — no self-join diff needed)
         nbr_min = (
             edges.join(labels.select(F.col(id_col).alias("id_b"), "label"), "id_b")
             .groupBy("id_a")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("id_a", id_col)
         )
-        new_labels = (
-            labels.join(nbr_min.withColumnRenamed("id_a", id_col), id_col, "left")
-            .select(
-                id_col,
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
-            )
+        labels = (
+            labels.unionByName(nbr_min)
+            .groupBy(id_col)
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
-        # materialize + truncate lineage each round (we count() anyway, so
-        # eager checkpointing costs nothing extra and keeps plans flat)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("changed")).limit(1).count()
-        labels = new_labels.drop("changed")
-        if changed == 0:
+        cur = labels.agg(
+            F.sum(F.xxhash64(F.concat_ws("\x1f", id_col, "label"))
+                  .cast("decimal(38,0)")).alias("s")  # decimal: no ANSI overflow
+        ).collect()[0]["s"]
+        if cur == prev_sum:
             break
+        prev_sum = cur
     else:
         raise RuntimeError(f"connected_components did not converge in {cfg.cc_max_iters} iters")
 

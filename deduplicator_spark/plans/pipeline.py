@@ -127,15 +127,16 @@ def run_pipeline(images: DataFrame, cfg: DedupConfig = DEFAULT,
     verdicts = verdicts_from_clusters(images, clusters, edges)
 
     spark = images.sparkSession
+    tier_counts = {r["tier"]: r["n"] for r in
+                   edges.groupBy("tier").agg(F.count("*").alias("n")).collect()}
     m = [
-        ("input", "rows", float(images.count())),
-        ("candidates", "verified_pairs", float(edges.count())),
+        ("input", "rows", float(images.count())),  # cached input: trivial job
+        ("candidates", "verified_pairs", float(sum(tier_counts.values()))),
     ]
     vstats = {r["verdict"]: r["n"] for r in
               verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()}
     m += [("verdicts", k, float(v)) for k, v in sorted(vstats.items())]
-    for row in edges.groupBy("tier").agg(F.count("*").alias("n")).collect():
-        m.append(("candidates", f"pairs_{row['tier']}", float(row["n"])))
+    m += [("candidates", f"pairs_{t}", float(n)) for t, n in sorted(tier_counts.items())]
     metrics = spark.createDataFrame(
         [(run_id, s, k, v) for s, k, v in m],
         "run_id string, stage string, metric string, value double",

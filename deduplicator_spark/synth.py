@@ -113,8 +113,10 @@ def _bitmap(i: int, seed: int) -> np.ndarray:
     degenerate)."""
     h = _h(i, seed, 3)
     rng = np.random.Generator(np.random.PCG64(h & 0x7FFFFFFFFFFFFFFF))
-    w_px = (32, 64, 128)[h % 3]
-    h_px = (32, 64, 128)[(h >> 8) % 3]
+    # realistic thumbnail-to-web sizes: the decode/digest cost per image is
+    # part of the measured workload, so toy 32px bitmaps would understate it
+    w_px = (128, 192, 256)[h % 3]
+    h_px = (128, 192, 256)[(h >> 8) % 3]
     low = rng.integers(0, 256, size=(8, 8, 3)).astype(np.float64)
     img = np.repeat(np.repeat(low, (h_px + 7) // 8, axis=0), (w_px + 7) // 8, axis=1)
     img = img[:h_px, :w_px]

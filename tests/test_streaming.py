@@ -1,0 +1,78 @@
+"""Stream-static probe == batch probe (the reference's crawl-time semantics,
+SURVEY.md §2.7), and the watermarked verdict rollup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _probe_and_index(spark):
+    from deduplicator_spark.entry_queries import _probe_index, load
+
+    return _probe_index(load(spark, "/root/testdata/sf0.001", "events"))
+
+
+def test_stream_static_probe_matches_batch(spark, tmp_path):
+    from deduplicator_spark.streaming.probe import (
+        probe_stream,
+        read_capture_stream,
+        run_probe_to_memory,
+        static_index_for_stream,
+    )
+
+    probe, index = _probe_and_index(spark)
+    static_idx = static_index_for_stream(index).persist()
+
+    src = str(tmp_path / "stream_src")
+    probe.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = read_capture_stream(spark, src, schema, max_files_per_trigger=2)
+    run_probe_to_memory(spark, stream, static_idx, "probe_out")
+    got = {
+        (r["probe_id"], r["verdict"], r["refers_to_record_id"])
+        for r in spark.table("probe_out").collect()
+    }
+
+    batch = probe_stream(spark.read.parquet(src), static_idx)
+    want = {
+        (r["probe_id"], r["verdict"], r["refers_to_record_id"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == probe.count()
+    assert any(v == "duplicate" for _, v, _ in got)
+
+
+def test_verdict_rollup_stream(spark, tmp_path):
+    from deduplicator_spark.streaming.probe import (
+        probe_stream,
+        read_capture_stream,
+        static_index_for_stream,
+        verdict_rollup_stream,
+    )
+
+    probe, index = _probe_and_index(spark)
+    static_idx = static_index_for_stream(index)
+
+    src = str(tmp_path / "rollup_src")
+    probe.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = read_capture_stream(spark, src, schema)
+    rollup = verdict_rollup_stream(probe_stream(stream, static_idx), window="1 hour")
+    q = (
+        rollup.writeStream.format("memory").queryName("rollup_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("rollup_out")
+
+    want = (
+        probe_stream(spark.read.parquet(src), static_idx)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "verdict")
+        .agg(F.count("*").alias("n"))
+    )
+    got_d = {(str(r["window_start"]), r["verdict"]): r["n"] for r in got.collect()}
+    want_d = {(str(r["window_start"]), r["verdict"]): r["n"] for r in want.collect()}
+    assert got_d == want_d

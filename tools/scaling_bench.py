@@ -82,7 +82,8 @@ def main() -> None:
     for cores in (small, big):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), str(n), str(cores)],
-            env={**os.environ, "_SCALING_CHILD": "1"},
+            env={**os.environ, "_SCALING_CHILD": "1",
+                 "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g")},
             capture_output=True, text=True, timeout=3600,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
