@@ -55,6 +55,55 @@ def decode_image(payload: bytes) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
+MAGIC_VID = b"FVID"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Deterministic fake video container: u16 frame count, then length-
+    prefixed FPNG frames. Real mp4/webm demuxing needs libs absent from this
+    container; the Spark-side plumbing (binary column -> frame sampling in
+    Arrow batches) is identical either way."""
+    parts = [MAGIC_VID, struct.pack("<H", len(frames))]
+    for f in frames:
+        p = encode_image(f, "png")
+        parts.append(struct.pack("<I", len(p)))
+        parts.append(p)
+    return b"".join(parts)
+
+
+def decode_video_frames(payload: bytes, every_n: int = 1) -> list[np.ndarray]:
+    """Every n-th frame of an FVID payload. Raises NotImplementedError for
+    real containers (clearly-marked stub: swap in PyAV/ffmpeg in production)."""
+    if payload[:4] != MAGIC_VID:
+        raise NotImplementedError(
+            "real video container decode (mp4/webm) requires PyAV/ffmpeg; "
+            "only the deterministic FVID test container is supported here"
+        )
+    (n,) = struct.unpack("<H", payload[4:6])
+    pos = 6
+    out = []
+    for i in range(n):
+        (ln,) = struct.unpack("<I", payload[pos:pos + 4])
+        pos += 4
+        if i % every_n == 0:
+            out.append(decode_image(payload[pos:pos + ln]))
+        pos += ln
+    return out
+
+
+def resize_area_mean(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic area-mean resample to (out_h, out_w, 3) uint8."""
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
+    c = np.zeros((h + 1, w + 1, 3))
+    c[1:, 1:, :] = arr.astype(np.float64).cumsum(0).cumsum(1)
+    area = ((ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1]))[:, :, None]
+    s = (c[ys[1:, None], xs[None, 1:]] - c[ys[:-1, None], xs[None, 1:]]
+         - c[ys[1:, None], xs[None, :-1]] + c[ys[:-1, None], xs[None, :-1]])
+    return np.clip(s / np.maximum(area, 1), 0, 255).astype(np.uint8)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images.
 

@@ -407,6 +407,38 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relational core (scan/filter/join/agg/window over the TPC-H-ish tables)
 # --------------------------------------------------------------------------
 
+def q_image_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship north-rule pipeline over the synthetic image+caption corpus
+    (deterministic synth — input_hint schema): 4-tier cascade (exact sha256,
+    pHash Hamming, MinHash/LSH captions, containment) -> PSNR verify -> CC
+    clustering -> per-image verdict + lineage. No SQL oracle (pixel decode /
+    perceptual hashing are not SQL-expressible); the driver records the
+    rows-only check, and tests/test_pipeline.py pins planted-truth recall."""
+    from .plans.pipeline import run_pipeline
+    from .synth import synthesize_images
+
+    images = synthesize_images(spark, 1000).persist()
+    images.count()
+    res = run_pipeline(images)
+    return res.verdicts.select(
+        "image_id", "verdict",
+        F.coalesce("dup_class", F.lit("none")).alias("dup_class"),
+        "cluster_id",
+        F.coalesce("refers_to_id", F.lit("none")).alias("refers_to_id"),
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (scale path: O(n + q*bucket) instead of
+    the brute-force O(n*q)); integer-quantized planes make the bucketing
+    bit-identical to the generated DuckDB oracle."""
+    from .operators.ann import ann_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()["embedding"])
+    return ann_topk_lsh(emb, dim)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     return (
@@ -582,6 +614,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "langid_confusion": q_langid_confusion,
     "embedding_topk": q_embedding_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "image_dedup_verdicts": q_image_dedup_verdicts,
 }
 
 
@@ -759,3 +793,12 @@ FROM (
 ) WHERE rank <= 5
 """,
 }
+
+
+def _ann_oracle() -> str:
+    from .operators.ann import ann_lsh_oracle_sql
+
+    return ann_lsh_oracle_sql(dim=64)  # driver testdata embeddings are 64-d
+
+
+ORACLES["ann_topk_lsh"] = _ann_oracle()

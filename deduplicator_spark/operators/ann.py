@@ -1,0 +1,148 @@
+"""Approximate nearest neighbors over embedding columns.
+
+Two paths (SURVEY/graft requirement "similarity search"):
+
+- brute-force cosine top-k (entry_queries.q_embedding_topk) — the exact
+  baseline: broadcast the small query side, one pass over the corpus.
+- hyperplane-LSH bucketed top-k (here) — the scale path: each vector gets a
+  b-bit signature (sign of dot with b fixed hyperplanes); the candidate join
+  is an equi-join on the bucket id, multi-probed on the query side (all
+  Hamming-1 flips) for recall. Corpus pass cost drops from O(n·q) to
+  O(n + q·bucket_size).
+
+Determinism contract: hyperplanes are INTEGER-valued (seeded PCG64) and the
+embeddings are quantized to integers (round(x*1000)) before the dot product,
+so the signature arithmetic is exact integer math — bit-identical across
+Spark, numpy, and the DuckDB oracle (no float-summation-order sign flips on
+near-orthogonal vectors).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ANN_SEED = 7
+# 8 planes = 256 buckets: sized so a sandbox-scale corpus (10^3-10^4 vectors)
+# still yields real bucket collisions; at web scale raise towards 16-24
+ANN_PLANES = 8
+ANN_QUANT = 1000
+
+
+def lsh_planes(dim: int, n_planes: int = ANN_PLANES, seed: int = ANN_SEED) -> np.ndarray:
+    """(n_planes, dim) int64 hyperplane coefficients in [-999, 999]."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(-999, 1000, size=(n_planes, dim), dtype=np.int64)
+
+
+def with_lsh_bucket(emb: DataFrame, dim: int, vec_col: str = "embedding",
+                    n_planes: int = ANN_PLANES, seed: int = ANN_SEED) -> DataFrame:
+    """+ bucket:long — b-bit hyperplane signature, exact integer arithmetic."""
+    planes = lsh_planes(dim, n_planes, seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # round-half-away-from-zero: matches DuckDB/Spark round(), unlike
+            # np.rint's banker's rounding
+            s = v * ANN_QUANT
+            q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+            dots = q @ planes.T  # exact: |dot| < 64 * 999 * ~1e5 << 2^63
+            bits = (dots > 0).astype(np.int64)
+            bucket = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+            out = pdf.copy()
+            out["bucket"] = bucket
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in emb.schema)
+    return emb.mapInPandas(gen, schema=f"{schema}, bucket long")
+
+
+def multiprobe_buckets(bucket_col, n_planes: int = ANN_PLANES):
+    """array<long>: the bucket plus all Hamming-1 flips (query-side probing)."""
+    return F.array(bucket_col,
+                   *[bucket_col.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+
+
+def ann_topk_lsh(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """LSH-bucketed approximate top-k: (query_id, neighbor_id, rank, cos)."""
+    sig = with_lsh_bucket(
+        emb.select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")),
+        dim, vec_col="v",
+    ).persist()
+
+    queries = (
+        sig.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                F.explode(multiprobe_buckets(F.col("bucket"))).alias("bucket"))
+    )
+    cands = F.broadcast(queries).join(sig.select(id_col, "v", "bucket"), "bucket") \
+        .filter(F.col(id_col) != F.col("query_id"))
+
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored = cands.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        (dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+def ann_lsh_oracle_sql(dim: int, k: int = 5, n_queries: int = 20,
+                       n_planes: int = ANN_PLANES, seed: int = ANN_SEED) -> str:
+    """DuckDB SQL implementing the IDENTICAL algorithm (same integer planes,
+    same quantization, same multiprobe), generated from the same numpy seed."""
+    planes = lsh_planes(dim, n_planes, seed)
+    values = ",\n    ".join(
+        f"({i}, {planes[i].tolist()})" for i in range(n_planes)
+    )
+    return f"""
+WITH eq AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * {ANN_QUANT}) AS BIGINT)) AS vq
+  FROM embeddings
+),
+planes(idx, p) AS (VALUES
+    {values}
+),
+sig AS (
+  SELECT vec_id, v,
+         CAST(sum(CASE WHEN list_dot_product(vq, p) > 0 THEN 1 << idx ELSE 0 END) AS BIGINT) AS bucket
+  FROM eq CROSS JOIN planes GROUP BY vec_id, v
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv,
+         CASE WHEN f = 0 THEN bucket ELSE xor(bucket, CAST(1 << (f - 1) AS BIGINT)) END AS bucket
+  FROM sig CROSS JOIN range({n_planes + 1}) t(f)
+  WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id,
+         list_dot_product(p.qv, s.v)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))) AS cos
+  FROM probes p JOIN sig s USING (bucket)
+  WHERE s.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

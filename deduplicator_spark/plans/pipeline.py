@@ -118,8 +118,16 @@ def run_pipeline(images: DataFrame, cfg: DedupConfig = DEFAULT,
                  tiers: tuple[str, ...] = ("exact", "near_image",
                                            "near_caption", "containment"),
                  verify_pixels: bool = True,
-                 run_id: str = "run") -> DedupResult:
-    images = images.persist()
+                 run_id: str = "run",
+                 persist_input: bool = True) -> DedupResult:
+    """persist_input=True caches the full input (right for synthesized or
+    expensive-to-recompute inputs at sandbox scale). For a parquet/Iceberg
+    source pass False: each tier then scans only its pruned columns from
+    storage (bytes are read exactly twice — exact digest + PSNR verify) —
+    you cannot cache 100 TB of payload bytes, and the narrow caption/phash
+    projections the other tiers need are cached separately anyway."""
+    if persist_input:
+        images = images.persist()
     edges = candidate_edges(images, cfg, tiers, verify_pixels).persist()
     clusters = connected_components(
         canonical_pairs(edges), nodes=images.select("image_id"), cfg=cfg

@@ -29,10 +29,17 @@ sys.path.insert(0, "/root/repo")
 
 WARMUP_N = 2000
 REPEATS = 2  # best-of-k: the sandbox host carries external load (~10 LA)
+CORPUS_DIR = "/tmp/scaling_corpus"
 
 
 def measure(n: int, cores: int) -> dict:
-    """Child-process entry: warm-up + best-of-REPEATS timed pipeline runs."""
+    """Child-process entry: warm-up + best-of-REPEATS timed pipeline runs.
+
+    Input is a pre-written parquet corpus (written once by the parent at full
+    parallelism — synthesis is input materialization, not dedup work). The
+    pipeline runs with persist_input=False, the 100 TB-correct shape: every
+    tier scans only its pruned columns from storage; payload bytes are read
+    exactly twice (exact digest + PSNR verify), never cached."""
     from deduplicator_spark.plans.pipeline import run_pipeline
     from deduplicator_spark.session import get_spark
     from deduplicator_spark.synth import synthesize_images
@@ -44,12 +51,11 @@ def measure(n: int, cores: int) -> dict:
     run_pipeline(warm).verdicts.write.format("noop").mode("overwrite").save()
     warm.unpersist()
 
-    images = synthesize_images(spark, n).persist()
-    images.count()
+    images = spark.read.parquet(CORPUS_DIR)
     best, pairs = float("inf"), 0
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        res = run_pipeline(images)
+        res = run_pipeline(images, persist_input=False)
         res.verdicts.write.format("noop").mode("overwrite").save()
         sec = time.perf_counter() - t0
         pairs = int(res.pairs.count())
@@ -66,7 +72,19 @@ def measure(n: int, cores: int) -> dict:
     return out
 
 
+def write_corpus(n: int) -> None:
+    from deduplicator_spark.session import get_spark
+    from deduplicator_spark.synth import write_images_parquet
+
+    spark = get_spark("scaling-corpus")  # full parallelism for synthesis
+    write_images_parquet(spark, n, CORPUS_DIR)
+    spark.stop()
+
+
 def main() -> None:
+    if os.environ.get("_SCALING_CHILD") == "corpus":
+        write_corpus(int(sys.argv[1]))
+        return
     if os.environ.get("_SCALING_CHILD"):
         n, cores = int(sys.argv[1]), int(sys.argv[2])
         print("RESULT " + json.dumps(measure(n, cores)))
@@ -78,6 +96,12 @@ def main() -> None:
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), str(n)],
+        env={**os.environ, "_SCALING_CHILD": "corpus",
+             "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g")},
+        check=True, timeout=3600,
+    )
     results = {}
     for cores in (small, big):
         proc = subprocess.run(
@@ -112,11 +136,12 @@ def main() -> None:
 
 North rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
 executors. Sandbox evidence (per driver instruction): the same end-to-end
-dedup job (synth input materialized + cached before the clock; 4-tier
-cascade -> PSNR verify -> connected components -> verdicts) on the SAME
-{n}-image deterministic corpus at two local parallelism levels, each in a
+dedup job (parquet corpus scan with column pruning -> 4-tier cascade -> PSNR
+verify -> connected components -> verdicts; payload bytes read twice, never
+cached — the 100 TB-correct shape) on the SAME pre-written {n}-image
+deterministic parquet corpus at two local parallelism levels, each in a
 fresh JVM with a {WARMUP_N}-image warm-up run so the timed number is
-steady-state throughput.
+steady-state throughput (one-time codegen/JIT is per-process, not per-row).
 
 | parallelism | images | wall (s) | images/sec |
 |---|---|---|---|
