@@ -39,6 +39,11 @@ class DedupConfig:
     # --- verification (generalized ref P9 digest sanity check,
     #     DeDuplicator.java:169-172; PSNR bound from BASELINE.json) ---
     psnr_min_db: float = 40.0
+    # payload validation (F9 analog: corrupt records -> quarantine, not abort):
+    # a row is quarantined when its bytes don't decode or its stored phash
+    # disagrees with the pixel-recomputed one by more than this (lossy
+    # re-encodes drift <= 2 bits; 8 is far outside codec noise)
+    phash_validate_max_hamming: int = 8
 
     # --- skew handling ---
     salt_buckets: int = 8                 # salting factor for hot LSH band keys

@@ -4,17 +4,23 @@ A banded signature (pHash bit-bands or MinHash LSH bands) becomes candidate
 pairs via one equi-join-shaped groupBy on (band, key) — the set-oriented analog
 of the reference's per-record index probe (LuceneIndexSearcher.java:285-296).
 
-Scale levers, explicit per SURVEY.md §7.4:
+Scale levers, explicit per SURVEY.md §7.4 and the north rule's salted-key
+skew handling:
 
-* **Bucket explosion cap**: all-pairs inside a bucket is O(g^2). Buckets up to
-  ``pair_cap`` emit all pairs (needed because similarity is not transitive:
-  in {x, a, b} with a~b but x far from both, star-only edges would lose a-b).
-  Larger buckets — at web scale these are boilerplate/near-identical content —
-  fall back to star edges around the bucket minimum, keeping output linear.
-* **Salting**: the hot-caption boilerplate makes a handful of band keys carry
-  millions of rows. AQE skew-join splitting handles the *join*; the groupBy
-  collect is bounded by ``group_cap`` sampling inside each bucket so no single
-  task ever materializes an unbounded bucket.
+* **Bucket explosion cap**: all-pairs inside a bucket is O(g^2). Buckets up
+  to ``pair_cap`` members emit all pairs (needed because similarity is not
+  transitive: in {x, a, b} with a~b but x far from both, star-only edges
+  would lose a-b). Larger buckets — at web scale these are boilerplate /
+  near-identical content — fall back to star edges around the bucket minimum.
+* **Star edges never drop members**: big buckets are handled by a JOIN
+  against the bucket minimum, not a collected (and therefore capped) member
+  list — every member of a 10M-row boilerplate bucket gets its star edge.
+  AQE skew-join splitting spreads the hot key's join rows.
+* **Salting**: member lists are only ever collected for SMALL buckets, and
+  the collection itself is a salted two-phase aggregation — phase 1 groups by
+  (band, key, salt = hash(id) % S) and keeps at most pair_cap+1 ids per salt,
+  so no aggregation state ever exceeds S x (pair_cap+1) ids per key even
+  when millions of rows share one band key.
 """
 
 from __future__ import annotations
@@ -26,31 +32,47 @@ from pyspark.sql import functions as F
 def candidate_pairs_from_bands(
     banded: DataFrame,
     pair_cap: int = 16,
-    group_cap: int = 4096,
+    salt_buckets: int = 8,
 ) -> DataFrame:
-    """banded: (image_id, band:int, key:long) -> distinct (id_a < id_b) pairs.
-
-    Implementation is a groupBy + bounded collect_list + in-plan pair
-    expansion (arrays_zip/explode), NOT a self-join: one shuffle instead of
-    two, and the cap is enforced before any pair is materialized.
-    """
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.slice(F.sort_array(F.collect_list("image_id")), 1, group_cap).alias("ids"))
-        .filter(F.size("ids") > 1)
+    """banded: (image_id, band:int, key:long) -> distinct (id_a < id_b) pairs."""
+    frag_cap = pair_cap + 1  # one extra: a complete fragment proves n <= cap
+    p1 = (
+        banded.groupBy(
+            "band", "key",
+            F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets)).alias("_salt"),
+        )
+        .agg(
+            F.slice(F.sort_array(F.collect_list("image_id")), 1, frag_cap).alias("ids"),
+            F.count("*").alias("cnt"),
+        )
     )
-    small = buckets.filter(F.size("ids") <= pair_cap)
-    big = buckets.filter(F.size("ids") > pair_cap)
+    buckets = (
+        p1.groupBy("band", "key")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("ids"))).alias("ids"),
+            F.sum("cnt").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )
 
-    # all pairs for small buckets: explode twice over the (sorted) array
+    # small buckets: the salted fragments are provably complete (every salt
+    # held <= pair_cap < frag_cap members) -> exact all-pairs expansion
+    small = buckets.filter(F.col("n") <= pair_cap)
     small_pairs = (
         small.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
         .select("id_a", F.explode(F.slice(F.col("ids"), F.col("i") + 2, 2147483647)).alias("id_b"))
     )
-    # star to bucket min for big buckets (near-identical content by construction)
-    big_pairs = big.select(
-        F.element_at("ids", 1).alias("id_a"),
-        F.explode(F.slice("ids", 2, 2147483647)).alias("id_b"),
+
+    # big buckets: star edges to the bucket minimum via join — covers EVERY
+    # member (fragment minima are true minima, so array_min(ids) is the
+    # global bucket minimum even though ids is a capped sample)
+    big_mins = buckets.filter(F.col("n") > pair_cap).select(
+        "band", "key", F.element_at("ids", 1).alias("id_a")
+    )
+    big_pairs = (
+        banded.join(big_mins, ["band", "key"])
+        .filter(F.col("image_id") != F.col("id_a"))
+        .select("id_a", F.col("image_id").alias("id_b"))
     )
     return small_pairs.unionByName(big_pairs).distinct()
 

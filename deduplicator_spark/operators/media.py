@@ -53,18 +53,32 @@ def _decode_any(payload: bytes) -> np.ndarray:
         )
 
 
-def image_features(images: DataFrame) -> DataFrame:
+def image_features(images: DataFrame, safe: bool = False) -> DataFrame:
     """Decode + per-image features: dimensions, channel means, luma std,
-    recomputed pHash (lets callers validate the stored phash column)."""
+    recomputed pHash (lets callers validate the stored phash column).
+
+    safe=True turns decode failures into decode_ok=False rows instead of
+    task failures — the quarantine path (F9 analog: route corrupt records to
+    a quarantine table instead of aborting the crawl, SURVEY.md §2.2)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
-                arr = _decode_any(bytes(payload))
+                try:
+                    arr = _decode_any(bytes(payload))
+                except Exception:
+                    if not safe:
+                        raise
+                    rows.append({"image_id": image_id, "decode_ok": False,
+                                 "h": 0, "w": 0, "mean_r": 0.0, "mean_g": 0.0,
+                                 "mean_b": 0.0, "luma_std": 0.0,
+                                 "phash_recomputed": 0})
+                    continue
                 luma = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
                 rows.append({
                     "image_id": image_id,
+                    "decode_ok": True,
                     "h": int(arr.shape[0]),
                     "w": int(arr.shape[1]),
                     "mean_r": float(arr[:, :, 0].mean()),
@@ -74,14 +88,15 @@ def image_features(images: DataFrame) -> DataFrame:
                     "phash_recomputed": phash64(arr),
                 })
             yield pd.DataFrame(rows, columns=[
-                "image_id", "h", "w", "mean_r", "mean_g", "mean_b",
-                "luma_std", "phash_recomputed",
+                "image_id", "decode_ok", "h", "w", "mean_r", "mean_g",
+                "mean_b", "luma_std", "phash_recomputed",
             ])
 
     return images.select("image_id", "bytes").mapInPandas(
         gen,
-        schema="image_id string, h int, w int, mean_r double, mean_g double, "
-               "mean_b double, luma_std double, phash_recomputed long",
+        schema="image_id string, decode_ok boolean, h int, w int, "
+               "mean_r double, mean_g double, mean_b double, "
+               "luma_std double, phash_recomputed long",
     )
 
 

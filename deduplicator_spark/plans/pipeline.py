@@ -114,12 +114,34 @@ def verdicts_from_clusters(images: DataFrame, clusters: DataFrame,
     )
 
 
+def quarantine_ids(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """F9/P9 analog: rows whose payload doesn't decode, or whose stored phash
+    is irreconcilable with the pixel-recomputed one, are quarantined instead
+    of aborting the job (the reference hard-fails on digest mismatch,
+    DeDuplicator.java:169-172, and on URL sanity, IndexBuilder.java:180-185;
+    at web scale corrupt records are routine, so they route to a table).
+    Full-corpus decode pass in bounded Arrow batches; output is the (tiny)
+    bad-id set, broadcast-anti-joined against the input."""
+    from ..operators.media import image_features
+
+    feats = image_features(images, safe=True).select(
+        "image_id", "decode_ok", "phash_recomputed"
+    )
+    joined = images.select("image_id", "phash").join(feats, "image_id")
+    return joined.filter(
+        (~F.col("decode_ok"))
+        | (F.bit_count(F.col("phash").bitwiseXOR(F.col("phash_recomputed")))
+           > cfg.phash_validate_max_hamming)
+    ).select("image_id")
+
+
 def run_pipeline(images: DataFrame, cfg: DedupConfig = DEFAULT,
                  tiers: tuple[str, ...] = ("exact", "near_image",
                                            "near_caption", "containment"),
                  verify_pixels: bool = True,
                  run_id: str = "run",
-                 persist_input: bool = True) -> DedupResult:
+                 persist_input: bool = True,
+                 validate_payloads: bool = True) -> DedupResult:
     """persist_input=True caches the full input (right for synthesized or
     expensive-to-recompute inputs at sandbox scale). For a parquet/Iceberg
     source pass False: each tier then scans only its pruned columns from
@@ -128,6 +150,12 @@ def run_pipeline(images: DataFrame, cfg: DedupConfig = DEFAULT,
     projections the other tiers need are cached separately anyway."""
     if persist_input:
         images = images.persist()
+    n_quarantined = 0
+    if validate_payloads:
+        bad = quarantine_ids(images, cfg).persist()
+        n_quarantined = bad.count()
+        if n_quarantined:
+            images = images.join(F.broadcast(bad), "image_id", "left_anti")
     edges = candidate_edges(images, cfg, tiers, verify_pixels).persist()
     clusters = connected_components(
         canonical_pairs(edges), nodes=images.select("image_id"), cfg=cfg
@@ -139,6 +167,7 @@ def run_pipeline(images: DataFrame, cfg: DedupConfig = DEFAULT,
                    edges.groupBy("tier").agg(F.count("*").alias("n")).collect()}
     m = [
         ("input", "rows", float(images.count())),  # cached input: trivial job
+        ("input", "quarantined", float(n_quarantined)),
         ("candidates", "verified_pairs", float(sum(tier_counts.values()))),
     ]
     vstats = {r["verdict"]: r["n"] for r in

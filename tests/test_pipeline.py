@@ -80,3 +80,32 @@ def test_pixel_verification_bounds(spark, images_500):
     res = run_pipeline(images_500)
     ni = res.pairs.filter("tier = 'near_image'")
     assert ni.filter("score < 40.0").count() == 0
+
+
+def test_payload_validation_quarantines_corrupt_rows(spark, images_500):
+    """F9/P9 analog: undecodable bytes and phash-vs-pixels mismatches are
+    quarantined (not clustered, not fatal); clean rows are unaffected."""
+    from pyspark.sql import functions as F
+
+    corrupt = spark.createDataFrame(
+        [("zzz-corrupt-bytes", bytearray(b"NOT AN IMAGE"), 8, 8, "png",
+          "some caption text here", 0),
+         ],
+        images_500.schema,
+    )
+    # a clean row but with a deliberately wrong stored phash
+    lying = (
+        images_500.limit(1)
+        .withColumn("image_id", F.lit("zzz-lying-phash"))
+        .withColumn("phash", F.lit(0x5555555555555555))
+    )
+    df = images_500.unionByName(corrupt).unionByName(lying).persist()
+    res = run_pipeline(df)
+
+    q = {r["metric"]: r["value"] for r in
+         res.metrics.filter("stage = 'input'").collect()}
+    assert q["quarantined"] == 2.0
+    verdict_ids = {r["image_id"] for r in res.verdicts.collect()}
+    assert "zzz-corrupt-bytes" not in verdict_ids
+    assert "zzz-lying-phash" not in verdict_ids
+    assert len(verdict_ids) == 500

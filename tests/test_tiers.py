@@ -120,3 +120,16 @@ def test_candidate_cap_star_fallback(spark):
     pairs = candidate_pairs_from_bands(df, pair_cap=16).collect()
     assert len(pairs) == 19
     assert all(r["id_a"] == "id00" for r in pairs)
+
+
+def test_mega_bucket_star_covers_every_member(spark):
+    # a bucket far beyond every cap (salted fragments can't hold it) must
+    # still produce one star edge per member — web-scale boilerplate keys
+    # lose recall if the member list is sampled
+    n = 5000
+    rows = [(f"id{i:06d}", 0, 7) for i in range(n)]
+    df = spark.createDataFrame(rows, "image_id string, band int, key long")
+    pairs = candidate_pairs_from_bands(df, pair_cap=16, salt_buckets=8).collect()
+    assert len(pairs) == n - 1
+    assert {r["id_b"] for r in pairs} == {f"id{i:06d}" for i in range(1, n)}
+    assert all(r["id_a"] == "id000000" for r in pairs)
