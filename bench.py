@@ -77,9 +77,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "total runtime: 25 driver-contract queries (24 DuckDB-oracled) + "
-                  "end-to-end image dedup pipeline (validate + 4-tier cascade + "
-                  "PSNR verify + CC clustering)",
+        "metric": "total runtime: 29 driver-contract queries (28 DuckDB-oracled) + "
+                  "end-to-end image dedup pipeline (fused validate/digest pass + "
+                  "4-tier cascade + PSNR verify + CC clustering)",
         "value": total,
         "unit": "sec",
         "queries": timings,

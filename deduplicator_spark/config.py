@@ -47,13 +47,16 @@ class DedupConfig:
 
     # --- skew handling ---
     salt_buckets: int = 8                 # salting factor for hot LSH band keys
-    hot_band_threshold: int = 1024        # band bucket size above which we salt
+    hot_band_threshold: int = 16          # bucket size above which all-pairs
+                                          # expansion falls back to star edges
+                                          # (operators/candidates.py pair_cap)
 
     # --- execution ---
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 4096          # bounded Arrow batches for image decode UDFs
     cc_max_iters: int = 50                # connected-components safety bound
-    checkpoint_every: int = 3             # CC: truncate lineage every N iterations
+    checkpoint_every: int = 2             # CC: rounds per lazy batch between
+                                          # checkpoint + convergence checks
 
     def __post_init__(self) -> None:
         assert self.minhash_perms == self.lsh_bands * self.lsh_rows

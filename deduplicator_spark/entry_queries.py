@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from .config import DEFAULT
 from .functions.hashing import shingles, tokens
+from .functions.urlcanon import canonicalize_sql, canonicalize_url
 from .operators.candidates import candidate_pairs_from_bands, canonical_pairs
 from .operators.components import connected_components
 from .operators.minhash import (
@@ -37,6 +38,14 @@ from .operators.strategies import (
 SHINGLE_K = DEFAULT.shingle_k
 JACCARD_T = 0.8
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
+# Hot-shingle cutoff for the exact inverted-index join: a shingle shared by
+# df > cap documents contributes O(df^2) join rows (one boilerplate 3-gram in
+# 1M docs = 10^12 rows), so its posting list is dropped — the LSH tier is the
+# scale path for such content anyway. The cap is applied IDENTICALLY in the
+# SQL oracle; at driver scales max df is 25 (sf0.1), so outputs equal the
+# uncapped exact join while the plan stays safe at 1000x the data.
+SHINGLE_DF_CAP = 128
+EMB_DIM = 64  # driver testdata embeddings are 64-d (TESTDATA.md; oracle pins 64)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,19 +58,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # so strategy-join oracles see identical inputs.
 # --------------------------------------------------------------------------
 
-def captures_from_events(events: DataFrame) -> DataFrame:
+def captures_from_events(events: DataFrame, canonicalizer=canonicalize_url) -> DataFrame:
+    """``canonicalizer`` is injectable (U5) and defaults to the P1 operator:
+    url_canon is DERIVED from url, not synthesized."""
     e = F.col("event_id")
+    url = F.concat(
+        F.lit("http://www"), (e % 2).cast("string"),
+        F.lit(".shop"), F.col("user_id").cast("string"),
+        F.lit(".is/p"), (e % 5).cast("string"),
+    )
     return events.select(
         e.alias("probe_id"),
-        F.concat(
-            F.lit("http://www"), (e % 2).cast("string"),
-            F.lit(".shop"), F.col("user_id").cast("string"),
-            F.lit(".is/p"), (e % 5).cast("string"),
-        ).alias("url"),
-        F.concat(
-            F.lit("http://shop"), F.col("user_id").cast("string"),
-            F.lit(".is/p"), (e % 5).cast("string"),
-        ).alias("url_canon"),
+        url.alias("url"),
+        canonicalizer(url).alias("url_canon"),
         F.md5(F.concat(F.col("event_type"), F.lit(":"), F.col("user_id").cast("string"))).alias("digest"),
         F.col("ts"),
         F.concat(F.lit("rec-"), e.cast("string")).alias("record_id"),
@@ -76,12 +85,16 @@ def captures_from_events(events: DataFrame) -> DataFrame:
     )
 
 
-_CAPTURES_SQL = """
+_URL_SQL = (
+    "'http://www' || CAST(event_id % 2 AS VARCHAR) || '.shop' || CAST(user_id AS VARCHAR)"
+    " || '.is/p' || CAST(event_id % 5 AS VARCHAR)"
+)
+
+_CAPTURES_SQL = f"""
 SELECT
   event_id AS probe_id,
-  'http://www' || CAST(event_id % 2 AS VARCHAR) || '.shop' || CAST(user_id AS VARCHAR)
-    || '.is/p' || CAST(event_id % 5 AS VARCHAR) AS url,
-  'http://shop' || CAST(user_id AS VARCHAR) || '.is/p' || CAST(event_id % 5 AS VARCHAR) AS url_canon,
+  {_URL_SQL} AS url,
+  {canonicalize_sql(_URL_SQL)} AS url_canon,
   md5(event_type || ':' || CAST(user_id AS VARCHAR)) AS digest,
   ts,
   'rec-' || CAST(event_id AS VARCHAR) AS record_id,
@@ -171,6 +184,60 @@ FROM j WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# P1: URL canonicalization over deliberately dirty URLs (mixed case, www
+# labels, default ports, session params, fragments, userinfo, trailing
+# slashes) rendered deterministically from events
+# --------------------------------------------------------------------------
+
+_DIRTY_URL_SQL = """
+  CASE WHEN event_id % 2 = 0 THEN 'HTTP://WWW' || CAST(event_id % 3 AS VARCHAR) || '.'
+       ELSE 'http://' END
+  || CASE WHEN event_id % 7 = 0 THEN 'User:Pw@' ELSE '' END
+  || 'Shop' || CAST(user_id AS VARCHAR) || '.IS'
+  || CASE WHEN event_id % 5 = 0 THEN ':80' ELSE '' END
+  || '/P' || CAST(event_id % 5 AS VARCHAR)
+  || CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END
+  || CASE WHEN event_id % 11 = 0 THEN ';JSESSIONID=Z' || CAST(event_id AS VARCHAR) ELSE '' END
+  || CASE WHEN event_id % 4 = 0 THEN '?a=1&SID=' || CAST(event_id AS VARCHAR) || '&b=2'
+          WHEN event_id % 4 = 1 THEN '?PHPSESSID=' || CAST(event_id AS VARCHAR)
+          ELSE '' END
+  || CASE WHEN event_id % 6 = 0 THEN '#Sec' ELSE '' END
+"""
+
+
+def _dirty_url_col() -> F.Column:
+    e = F.col("event_id")
+    u = F.col("user_id").cast("string")
+    s = e.cast("string")
+    return F.concat(
+        F.when(e % 2 == 0, F.concat(F.lit("HTTP://WWW"), (e % 3).cast("string"), F.lit(".")))
+        .otherwise(F.lit("http://")),
+        F.when(e % 7 == 0, F.lit("User:Pw@")).otherwise(F.lit("")),
+        F.lit("Shop"), u, F.lit(".IS"),
+        F.when(e % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/P"), (e % 5).cast("string"),
+        F.when(e % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(e % 11 == 0, F.concat(F.lit(";JSESSIONID=Z"), s)).otherwise(F.lit("")),
+        F.when(e % 4 == 0, F.concat(F.lit("?a=1&SID="), s, F.lit("&b=2")))
+        .when(e % 4 == 1, F.concat(F.lit("?PHPSESSID="), s))
+        .otherwise(F.lit("")),
+        F.when(e % 6 == 0, F.lit("#Sec")).otherwise(F.lit("")),
+    )
+
+
+def q_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — AggressiveUrlCanonicalizer analog (IndexBuilder.java:57,194-199;
+    DeDuplicator.java:120,158) as a pure regexp_replace chain; the oracle
+    renders the IDENTICAL chain from the same rule table."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").alias("probe_id"),
+        _dirty_url_col().alias("url"),
+        canonicalize_url(_dirty_url_col()).alias("url_canon"),
+    )
+
+
+# --------------------------------------------------------------------------
 # documents: shingles / jaccard / minhash / clustering
 # --------------------------------------------------------------------------
 
@@ -198,6 +265,25 @@ FROM p JOIN z za ON za.doc_id = p.id_a JOIN z zb ON zb.doc_id = p.id_b
 WHERE p.inter * 1.0 / (za.n + zb.n - p.inter) >= {JACCARD_T}
 """
 
+# ngram_jaccard_pairs oracle: identical algorithm INCLUDING the hot-shingle
+# posting-list cap (df <= SHINGLE_DF_CAP), mirroring the Spark query
+_JACCARD_PAIRS_CAPPED_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+e0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+rare AS (SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) <= {SHINGLE_DF_CAP}),
+e AS (SELECT doc_id, e0.shingle FROM e0 JOIN rare USING (shingle)),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+z AS (SELECT doc_id, len(sh) AS n FROM s)
+SELECT p.id_a, p.id_b,
+       round(p.inter * 1.0 / (za.n + zb.n - p.inter), 6) AS jaccard
+FROM p JOIN z za ON za.doc_id = p.id_a JOIN z zb ON zb.doc_id = p.id_b
+WHERE p.inter * 1.0 / (za.n + zb.n - p.inter) >= {JACCARD_T}
+"""
+
 
 def _docs_as_items(docs: DataFrame) -> DataFrame:
     # zero-padded ids so lexicographic pair canonicalization == numeric order
@@ -210,10 +296,18 @@ def _docs_as_items(docs: DataFrame) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs set-similarity join via inverted shingle index — the
     scalable exact path (one explode + one equi-join + one groupBy; no cross
-    join). Oracle: identical algorithm in SQL."""
+    join), with hot posting lists dropped above SHINGLE_DF_CAP so one
+    boilerplate shingle can never go quadratic. Oracle: identical algorithm
+    (including the cap) in SQL."""
     docs = load(spark, sf_dir, "documents")
     sh = docs.select("doc_id", shingles(tokens(F.col("text")), SHINGLE_K).alias("sh"))
-    e = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    e = sh.select("doc_id", F.explode("sh").alias("shingle")).persist()
+    rare = (
+        e.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    e = e.join(rare, "shingle")
     pairs = (
         e.alias("a")
         .join(e.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
@@ -231,14 +325,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
 
 
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH tier: one persisted Arrow pass over captions feeds the band
+    explode AND both verify join sides — without the persist the MinHash UDF
+    re-executes 3x (it is the dominant cost of these queries)."""
+    docs = _docs_as_items(load(spark, sf_dir, "documents"))
+    prep = prepared_features(docs).persist()
+    cands = candidate_pairs_from_bands(
+        banded_from_prepared(prep),
+        pair_cap=DEFAULT.hot_band_threshold, salt_buckets=DEFAULT.salt_buckets)
+    return jaccard_verify(cands, prep, JACCARD_T, col="sh_hashes")
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH candidates + exact-Jaccard verification. With b=32, r=4 the
     miss probability at J>=0.8 is ~5e-8, so the verified output equals the
     exact join (same oracle as ngram_jaccard_pairs) at O(n·bands) cost."""
-    docs = _docs_as_items(load(spark, sf_dir, "documents"))
-    prep = prepared_features(docs)
-    cands = candidate_pairs_from_bands(banded_from_prepared(prep))
-    verified = jaccard_verify(cands, prep, JACCARD_T, col="sh_hashes")
+    verified = _lsh_verified_pairs(spark, sf_dir)
     return verified.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -248,12 +351,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup edges; every doc gets
-    a cluster id (min reachable doc_id). Oracle: recursive CTE closure."""
+    a cluster id (min reachable doc_id). Oracle: recursive CTE closure.
+    Shares the persisted LSH tier with q_minhash_lsh_pairs instead of
+    recomputing the whole cascade."""
     docs = load(spark, sf_dir, "documents")
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    pairs = _lsh_verified_pairs(spark, sf_dir)
     cc = connected_components(
-        canonical_pairs(pairs.select(F.format_string("%012d", "id_a").alias("id_a"),
-                                     F.format_string("%012d", "id_b").alias("id_b"))),
+        canonical_pairs(pairs.select("id_a", "id_b")),
         nodes=docs.select(F.format_string("%012d", "doc_id").alias("image_id")),
     )
     return cc.select(
@@ -435,8 +539,7 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import ann_topk_lsh
 
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()["embedding"])
-    return ann_topk_lsh(emb, dim)
+    return ann_topk_lsh(emb, EMB_DIM)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,6 +675,110 @@ def q_crawl_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_captures(events: DataFrame) -> DataFrame:
+    """Captures extended with revisit lineage for the composed index build:
+    every 5th probe is a revisit (original = canonicalized url, 1h earlier);
+    every 25th is an UNRESOLVED revisit (original fields null -> F7 gate).
+    Digests carry a scheme prefix so P2 stripping is exercised."""
+    c = captures_from_events(events)
+    is_rev = F.col("probe_id") % 5 == 0
+    unres = F.col("probe_id") % 25 == 0
+    return c.select(
+        "url",
+        F.concat(F.lit("sha1:"), F.col("digest")).alias("digest"),
+        "ts", "record_id", "mime", "status",
+        is_rev.alias("revisit"),
+        F.when(is_rev & ~unres, F.col("url_canon")).alias("original_url"),
+        F.when(is_rev & ~unres,
+               F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("original_ts"),
+    )
+
+
+_INDEX_CAPTURES_SQL = f"""
+SELECT url,
+  'sha1:' || digest AS digest,
+  ts, record_id, mime, status,
+  probe_id % 5 = 0 AS revisit,
+  CASE WHEN probe_id % 5 = 0 AND probe_id % 25 <> 0 THEN url_canon END AS original_url,
+  CASE WHEN probe_id % 5 = 0 AND probe_id % 25 <> 0 THEN ts - INTERVAL 1 HOUR END AS original_ts
+FROM ({_CAPTURES_SQL})
+"""
+
+_INDEX_BUILD_CORE_SQL = f"""
+caps AS ({_INDEX_CAPTURES_SQL}),
+eligible AS (
+  SELECT CASE WHEN revisit THEN original_url ELSE url END AS url,
+         digest,
+         CASE WHEN revisit THEN original_ts ELSE ts END AS ts,
+         record_id, coalesce(mime, 'unknown') AS mime
+  FROM caps
+  WHERE status = 200
+    AND NOT regexp_matches(coalesce(mime, 'unknown'), '^text/.*')
+    AND NOT (revisit AND (original_url IS NULL OR original_ts IS NULL))
+    AND NOT contains(url, '"')
+),
+enriched AS (
+  SELECT url, {canonicalize_sql("url")} AS url_canon, digest,
+         regexp_replace(digest, '^.*:', '') AS digest_stripped,
+         ts, record_id, mime
+  FROM eligible
+),
+lastwins AS (
+  SELECT url, url_canon, digest, digest_stripped, ts, record_id, mime
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY url, digest ORDER BY ts DESC, record_id DESC) AS rn
+    FROM enriched
+  ) WHERE rn = 1
+)
+"""
+
+
+def q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 composed indexer ETL (IndexBuilder.java:144-238): F1 -> F3 ->
+    P4 revisit->original -> F7 unresolved gate -> F9 -> P1 -> P2 -> A5
+    last-wins upsert, as ONE declarative job. Oracle replays every gate."""
+    from .plans.index_build import build_index
+
+    res = build_index(_index_captures(load(spark, sf_dir, "events")))
+    return res.index.select(
+        "url", "url_canon", "digest", "digest_stripped",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "record_id", "mime",
+    )
+
+
+def q_index_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 counters for the composed build (count/skipped/unresolved,
+    IndexBuilder.java:131-133,174-178) with the reconciliation invariant
+    handled = indexed + skipped_status + skipped_mime + unresolved +
+    quarantined_url baked into the gate-ordered classification."""
+    from .plans.index_build import build_index
+
+    res = build_index(_index_captures(load(spark, sf_dir, "events")))
+    return res.counters
+
+
+def q_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — the reference's end-of-crawl report (DeDuplicator.java:208-253):
+    per-class duplicate counts, novel derived as handled − Σclasses
+    (:223-225), and the duplicate percentage (:249-253)."""
+    probe, index = _probe_index(load(spark, sf_dir, "events"))
+    v = classify_verdicts(lookup(probe, index, "DIGEST_ANY"))
+    agg = v.agg(
+        F.count("*").alias("handled"),
+        *[F.sum((F.col("dup_class") == c).cast("long")).alias(f"dup_{c}")
+          for c in ("exact_url", "canonical_url", "digest_only")],
+    )
+    dups = F.col("dup_exact_url") + F.col("dup_canonical_url") + F.col("dup_digest_only")
+    return agg.select(
+        "handled", "dup_exact_url", "dup_canonical_url", "dup_digest_only",
+        dups.alias("duplicates"),
+        (F.col("handled") - dups).alias("novel_new"),
+        F.round(dups * 100.0 / F.col("handled"), 4).alias("pct_duplicates"),
+    )
+
+
 def q_dup_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3: per-class duplicate counts + byte totals over DIGEST_ANY verdicts."""
     probe, index = _probe_index(load(spark, sf_dir, "events"))
@@ -597,12 +804,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_json_stats": q_events_json_stats,
     "events_minute_rollup": q_events_minute_rollup,
+    "canonicalize_urls": q_canonicalize_urls,
     "strategy_url_exact": _strategy_query("URL_EXACT"),
     "strategy_url_canonical": _strategy_query("URL_CANONICAL"),
     "strategy_digest_any": _strategy_query("DIGEST_ANY"),
     "strategy_digest_url_preferred": _strategy_query("DIGEST_URL_PREFERRED"),
     "crawl_log_parse": q_crawl_log_parse,
     "lastwins_index": q_lastwins_index,
+    "index_build": q_index_build,
+    "index_build_report": q_index_build_report,
+    "dup_report": q_dup_report,
     "dup_class_stats": q_dup_class_stats,
     "novel_by_antijoin": q_novel_by_antijoin,
     "exact_digest_documents": q_exact_digest_documents,
@@ -685,6 +896,12 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
   count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    "canonicalize_urls": f"""
+SELECT event_id AS probe_id,
+  {_DIRTY_URL_SQL} AS url,
+  {canonicalize_sql(f"({_DIRTY_URL_SQL})")} AS url_canon
+FROM events
+""",
     "strategy_url_exact": _strategy_oracle("p.url = i.url AND p.digest = i.digest"),
     "strategy_url_canonical": _strategy_oracle("p.url_canon = i.url_canon AND p.digest = i.digest"),
     "strategy_digest_any": _strategy_oracle("p.digest = i.digest"),
@@ -711,6 +928,60 @@ FROM (
          row_number() OVER (PARTITION BY url, digest ORDER BY ts DESC, record_id DESC) AS rn
   FROM cap WHERE status = 200
 ) WHERE rn = 1
+""",
+    "index_build": f"""
+WITH {_INDEX_BUILD_CORE_SQL}
+SELECT url, url_canon, digest, digest_stripped,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, record_id, mime
+FROM lastwins
+""",
+    "index_build_report": f"""
+WITH {_INDEX_BUILD_CORE_SQL},
+cls AS (
+  SELECT CASE WHEN status <> 200 THEN 'skipped_status'
+              WHEN regexp_matches(coalesce(mime, 'unknown'), '^text/.*') THEN 'skipped_mime'
+              WHEN revisit AND (original_url IS NULL OR original_ts IS NULL) THEN 'unresolved'
+              WHEN contains(url, '"') THEN 'quarantined_url'
+              ELSE 'indexed' END AS c
+  FROM caps
+)
+SELECT count(*) AS handled,
+  CAST(sum(CASE WHEN c = 'skipped_status' THEN 1 ELSE 0 END) AS BIGINT) AS skipped_status,
+  CAST(sum(CASE WHEN c = 'skipped_mime' THEN 1 ELSE 0 END) AS BIGINT) AS skipped_mime,
+  CAST(sum(CASE WHEN c = 'unresolved' THEN 1 ELSE 0 END) AS BIGINT) AS unresolved,
+  CAST(sum(CASE WHEN c = 'quarantined_url' THEN 1 ELSE 0 END) AS BIGINT) AS quarantined_url,
+  CAST(sum(CASE WHEN c = 'indexed' THEN 1 ELSE 0 END) AS BIGINT) AS indexed,
+  (SELECT count(*) FROM lastwins) AS index_rows
+FROM cls
+""",
+    "dup_report": f"""
+WITH probe AS ({_PROBE_SQL}), idx AS ({_INDEX_SQL}),
+j AS (
+  SELECT p.probe_id, p.url, p.url_canon,
+         i.url AS idx_url, i.url_canon AS idx_url_canon, i.digest AS idx_digest,
+         row_number() OVER (PARTITION BY p.probe_id
+                            ORDER BY i.ts DESC NULLS LAST, i.record_id ASC NULLS LAST) AS rn
+  FROM probe p LEFT JOIN idx i ON p.digest = i.digest
+),
+v AS (
+  SELECT CASE WHEN idx_digest IS NULL THEN NULL
+              WHEN url = idx_url THEN 'exact_url'
+              WHEN url_canon = idx_url_canon THEN 'canonical_url'
+              ELSE 'digest_only' END AS dup_class
+  FROM j WHERE rn = 1
+),
+agg AS (
+  SELECT count(*) AS handled,
+    CAST(sum(CASE WHEN dup_class = 'exact_url' THEN 1 ELSE 0 END) AS BIGINT) AS dup_exact_url,
+    CAST(sum(CASE WHEN dup_class = 'canonical_url' THEN 1 ELSE 0 END) AS BIGINT) AS dup_canonical_url,
+    CAST(sum(CASE WHEN dup_class = 'digest_only' THEN 1 ELSE 0 END) AS BIGINT) AS dup_digest_only
+  FROM v
+)
+SELECT handled, dup_exact_url, dup_canonical_url, dup_digest_only,
+  dup_exact_url + dup_canonical_url + dup_digest_only AS duplicates,
+  handled - (dup_exact_url + dup_canonical_url + dup_digest_only) AS novel_new,
+  round((dup_exact_url + dup_canonical_url + dup_digest_only) * 100.0 / handled, 4) AS pct_duplicates
+FROM agg
 """,
     "dup_class_stats": f"""
 WITH probe AS ({_PROBE_SQL}), idx AS ({_INDEX_SQL}),
@@ -741,7 +1012,7 @@ SELECT doc_id, md5(text) AS digest,
   min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
 FROM documents
 """,
-    "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "ngram_jaccard_pairs": _JACCARD_PAIRS_CAPPED_SQL,
     "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "doc_fingerprint": f"""
@@ -798,7 +1069,7 @@ FROM (
 def _ann_oracle() -> str:
     from .operators.ann import ann_lsh_oracle_sql
 
-    return ann_lsh_oracle_sql(dim=64)  # driver testdata embeddings are 64-d
+    return ann_lsh_oracle_sql(dim=EMB_DIM)
 
 
 ORACLES["ann_topk_lsh"] = _ann_oracle()

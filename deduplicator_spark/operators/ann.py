@@ -7,8 +7,17 @@ Two paths (SURVEY/graft requirement "similarity search"):
 - hyperplane-LSH bucketed top-k (here) — the scale path: each vector gets a
   b-bit signature (sign of dot with b fixed hyperplanes); the candidate join
   is an equi-join on the bucket id, multi-probed on the query side (all
-  Hamming-1 flips) for recall. Corpus pass cost drops from O(n·q) to
+  Hamming<=R flips) for recall. Corpus pass cost drops from O(n·q) to
   O(n + q·bucket_size).
+
+Scale knobs (all mirrored bit-for-bit in the generated DuckDB oracle):
+- ``n_planes``: 8 -> 256 buckets suits a 10^3-10^4-vector sandbox corpus;
+  at web scale raise to 16-24 so buckets stay bounded (tests exercise 16).
+- ``probe_radius``: query-side multiprobe Hamming radius (1 by default;
+  2 recovers recall when the plane count outgrows the corpus).
+- ``bucket_cap``: deterministic per-bucket corpus cap (smallest vec_ids win)
+  so one mega-bucket of near-identical embeddings cannot explode the
+  candidate join — the ANN analog of the LSH tier's star fallback.
 
 Determinism contract: hyperplanes are INTEGER-valued (seeded PCG64) and the
 embeddings are quantized to integers (round(x*1000)) before the dot product,
@@ -20,7 +29,7 @@ near-orthogonal vectors).
 from __future__ import annotations
 
 from collections.abc import Iterator
-from functools import reduce
+from itertools import combinations
 
 import numpy as np
 import pandas as pd
@@ -29,10 +38,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 ANN_SEED = 7
-# 8 planes = 256 buckets: sized so a sandbox-scale corpus (10^3-10^4 vectors)
-# still yields real bucket collisions; at web scale raise towards 16-24
 ANN_PLANES = 8
 ANN_QUANT = 1000
+ANN_BUCKET_CAP = 1024
 
 
 def lsh_planes(dim: int, n_planes: int = ANN_PLANES, seed: int = ANN_SEED) -> np.ndarray:
@@ -48,6 +56,8 @@ def with_lsh_bucket(emb: DataFrame, dim: int, vec_col: str = "embedding",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             # round-half-away-from-zero: matches DuckDB/Spark round(), unlike
             # np.rint's banker's rounding
@@ -64,26 +74,50 @@ def with_lsh_bucket(emb: DataFrame, dim: int, vec_col: str = "embedding",
     return emb.mapInPandas(gen, schema=f"{schema}, bucket long")
 
 
-def multiprobe_buckets(bucket_col, n_planes: int = ANN_PLANES):
-    """array<long>: the bucket plus all Hamming-1 flips (query-side probing)."""
-    return F.array(bucket_col,
-                   *[bucket_col.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+def _flip_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks with popcount <= radius (incl. 0 = the bucket itself)."""
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
+def multiprobe_buckets(bucket_col, n_planes: int = ANN_PLANES, radius: int = 1):
+    """array<long>: the bucket plus all Hamming<=radius flips (query side)."""
+    return F.array(*[bucket_col.bitwiseXOR(F.lit(m))
+                     for m in _flip_masks(n_planes, radius)])
 
 
 def ann_topk_lsh(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """LSH-bucketed approximate top-k: (query_id, neighbor_id, rank, cos)."""
-    sig = with_lsh_bucket(
-        emb.select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")),
-        dim, vec_col="v",
-    ).persist()
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_planes: int = ANN_PLANES, probe_radius: int = 1,
+                 bucket_cap: int = ANN_BUCKET_CAP,
+                 seed: int = ANN_SEED) -> DataFrame:
+    """LSH-bucketed approximate top-k: (query_id, neighbor_id, rank, cos).
+
+    The corpus side is computed ONCE (no persist needed): the query side is
+    its own pruned scan (filter pushed below the signature UDF), so nothing
+    is evaluated twice. Mega-buckets are capped deterministically at
+    ``bucket_cap`` members (smallest ids kept) before the candidate join.
+    """
+    base = emb.select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
 
     queries = (
-        sig.filter(F.col(id_col) < n_queries)
+        with_lsh_bucket(base.filter(F.col(id_col) < n_queries), dim,
+                        vec_col="v", n_planes=n_planes, seed=seed)
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-                F.explode(multiprobe_buckets(F.col("bucket"))).alias("bucket"))
+                F.explode(multiprobe_buckets(F.col("bucket"), n_planes,
+                                             probe_radius)).alias("bucket"))
     )
-    cands = F.broadcast(queries).join(sig.select(id_col, "v", "bucket"), "bucket") \
+    corpus = with_lsh_bucket(base, dim, vec_col="v", n_planes=n_planes, seed=seed)
+    wb = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+    corpus = (
+        corpus.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= bucket_cap)
+        .drop("_bn")
+    )
+    cands = F.broadcast(queries).join(corpus.select(id_col, "v", "bucket"), "bucket") \
         .filter(F.col(id_col) != F.col("query_id"))
 
     dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
@@ -93,7 +127,7 @@ def ann_topk_lsh(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
     scored = cands.select(
         "query_id", F.col(id_col).alias("neighbor_id"),
         (dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("cos"),
-    )
+    ).distinct()  # a pair can collide in several probed buckets
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
     return (
@@ -105,13 +139,17 @@ def ann_topk_lsh(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
 
 
 def ann_lsh_oracle_sql(dim: int, k: int = 5, n_queries: int = 20,
-                       n_planes: int = ANN_PLANES, seed: int = ANN_SEED) -> str:
+                       n_planes: int = ANN_PLANES, probe_radius: int = 1,
+                       bucket_cap: int = ANN_BUCKET_CAP,
+                       seed: int = ANN_SEED) -> str:
     """DuckDB SQL implementing the IDENTICAL algorithm (same integer planes,
-    same quantization, same multiprobe), generated from the same numpy seed."""
+    same quantization, same multiprobe masks, same bucket cap), generated
+    from the same numpy seed."""
     planes = lsh_planes(dim, n_planes, seed)
     values = ",\n    ".join(
         f"({i}, {planes[i].tolist()})" for i in range(n_planes)
     )
+    masks = ", ".join(str(m) for m in _flip_masks(n_planes, probe_radius))
     return f"""
 WITH eq AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -126,17 +164,23 @@ sig AS (
          CAST(sum(CASE WHEN list_dot_product(vq, p) > 0 THEN 1 << idx ELSE 0 END) AS BIGINT) AS bucket
   FROM eq CROSS JOIN planes GROUP BY vec_id, v
 ),
+corpus AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT vec_id, v, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS bn
+    FROM sig
+  ) WHERE bn <= {bucket_cap}
+),
 probes AS (
-  SELECT vec_id AS query_id, v AS qv,
-         CASE WHEN f = 0 THEN bucket ELSE xor(bucket, CAST(1 << (f - 1) AS BIGINT)) END AS bucket
-  FROM sig CROSS JOIN range({n_planes + 1}) t(f)
+  SELECT vec_id AS query_id, v AS qv, xor(bucket, CAST(m AS BIGINT)) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([{masks}]) AS m) t
   WHERE vec_id < {n_queries}
 ),
 scored AS (
-  SELECT p.query_id, s.vec_id AS neighbor_id,
+  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
          list_dot_product(p.qv, s.v)
            / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))) AS cos
-  FROM probes p JOIN sig s USING (bucket)
+  FROM probes p JOIN corpus s USING (bucket)
   WHERE s.vec_id <> p.query_id
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos

@@ -8,13 +8,15 @@ as iterative min-label propagation expressed purely as DataFrame joins:
 
 with three scale guards (SURVEY.md §7.4 hard part #1):
   * edges are canonicalized + deduplicated once, then cached;
-  * every cfg.checkpoint_every iterations the label frontier is
-    localCheckpoint()-ed, truncating the Catalyst lineage that otherwise grows
-    exponentially across self-join iterations (on a cluster: df.checkpoint()
-    to HDFS / an Iceberg snapshot — see plans/checkpoint.py);
-  * convergence is detected with a single count of changed labels per
-    iteration; dedup-graph diameters are tiny (star-shaped tiers), so this
-    terminates in O(log n) rounds in practice.
+  * propagation rounds run in LAZY batches of cfg.checkpoint_every: the
+    label frontier is only checkpointed + convergence-checked once per
+    batch, so the driver pays ONE job per batch instead of two per round.
+    Labels are monotone non-increasing, so an unchanged order-invariant
+    checksum across a whole batch proves a fixed point (on a cluster:
+    df.checkpoint() to HDFS / an Iceberg snapshot — see plans/checkpoint.py);
+  * dedup graphs are star-shaped (tiers emit star edges around bucket
+    minima), so they converge in 1-2 propagation rounds: the common case is
+    exactly two driver actions total.
 
 Determinism: labels are min(image_id) of the component — reproducing the
 reference's deterministic winner rule (scan-order last-wins,
@@ -28,6 +30,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, DedupConfig
+
+
+def _propagate(edges: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
+    """One min-label round: label(v) <- min(label(v), min over neighbors)."""
+    nbr_min = (
+        edges.join(labels.select(F.col(id_col).alias("id_b"), "label"), "id_b")
+        .groupBy("id_a")
+        .agg(F.min("label").alias("label"))
+        .withColumnRenamed("id_a", id_col)
+    )
+    return (
+        labels.unionByName(nbr_min)
+        .groupBy(id_col)
+        .agg(F.min("label").alias("label"))
+    )
 
 
 def connected_components(
@@ -47,7 +64,7 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # iteration 1 fused into label construction: label(v) = min(v, neighbors)
+    # round 0 fused into label construction: label(v) = min(v, neighbors)
     # via ONE union+groupBy — no join (star-shaped tiers converge right here)
     labels = (
         edges.select(F.col("id_a").alias(id_col), F.col("id_b").alias("label"))
@@ -55,35 +72,38 @@ def connected_components(
                                   F.col("id_a").alias("label")))
         .groupBy(id_col)
         .agg(F.min("label").alias("label"))
-        .localCheckpoint(eager=True)
     )
-    prev_sum = None
 
-    for it in range(cfg.cc_max_iters):
-        # one join (edges ⋈ labels) + two groupBys per round; convergence is
-        # detected by an order-invariant checksum of the label assignment
-        # (one tiny agg on the checkpointed frame — no self-join diff needed)
-        nbr_min = (
-            edges.join(labels.select(F.col(id_col).alias("id_b"), "label"), "id_b")
-            .groupBy("id_a")
-            .agg(F.min("label").alias("label"))
-            .withColumnRenamed("id_a", id_col)
-        )
-        labels = (
-            labels.unionByName(nbr_min)
-            .groupBy(id_col)
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur = labels.agg(
+    # Lazy-batched iteration: run `batch` propagation rounds without any
+    # action, then ONE job that materializes the (lazily) checkpointed
+    # frontier AND collects the convergence checksum. Plan depth within a
+    # batch doubles per round, but batches are short (2-3) and the
+    # checkpoint truncates lineage between them.
+    batch = max(1, cfg.checkpoint_every)
+    prev_state: tuple = ()
+    it = 0
+    converged = False
+    while it < cfg.cc_max_iters:
+        for _ in range(min(batch, cfg.cc_max_iters - it)):
+            labels = _propagate(edges, labels, id_col)
+            it += 1
+        labels = labels.localCheckpoint(eager=False)
+        # order-invariant checksum of the assignment; labels only ever
+        # decrease, so (count, sum) unchanged across a batch <=> fixed point
+        row = labels.agg(
+            F.count("*").alias("n"),
             F.sum(F.xxhash64(F.concat_ws("\x1f", id_col, "label"))
-                  .cast("decimal(38,0)")).alias("s")  # decimal: no ANSI overflow
-        ).collect()[0]["s"]
-        if cur == prev_sum:
+                  .cast("decimal(38,0)")).alias("s"),  # decimal: no ANSI overflow
+        ).first()
+        state = (row["n"], row["s"])
+        if state == prev_state:
+            converged = True
             break
-        prev_sum = cur
-    else:
-        raise RuntimeError(f"connected_components did not converge in {cfg.cc_max_iters} iters")
+        prev_state = state
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {cfg.cc_max_iters} iters"
+        )
 
     out = labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
     if nodes is not None:

@@ -27,7 +27,15 @@ def with_digest(images: DataFrame) -> DataFrame:
 
 def exact_pairs(images: DataFrame) -> DataFrame:
     """(id_a, id_b, tier='exact', score=1.0) star edges within digest groups."""
-    d = images.select("image_id", digest_sha256(F.col("bytes")).alias("digest"))
+    return exact_pairs_from_digests(
+        images.select("image_id", digest_sha256(F.col("bytes")).alias("digest"))
+    )
+
+
+def exact_pairs_from_digests(d: DataFrame) -> DataFrame:
+    """Star edges from a precomputed (image_id, digest) frame — lets a fused
+    upstream pass (validation_features) supply digests so payload bytes are
+    not rescanned (hex sha256 either way)."""
     w = Window.partitionBy("digest")
     grouped = d.withColumn("rep", F.min("image_id").over(w))
     return (

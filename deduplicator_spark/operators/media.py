@@ -54,23 +54,33 @@ def _decode_any(payload: bytes) -> np.ndarray:
 
 
 def image_features(images: DataFrame, safe: bool = False) -> DataFrame:
-    """Decode + per-image features: dimensions, channel means, luma std,
-    recomputed pHash (lets callers validate the stored phash column).
+    """Decode + per-image features: exact sha256 content digest, dimensions,
+    channel means, luma std, recomputed pHash (lets callers validate the
+    stored phash column).
+
+    The digest rides in the SAME pass so pipelines that validate payloads
+    read the payload bytes only once for digest+validation (hex sha256 —
+    identical output to F.sha2(bytes, 256), so the exact tier can consume it
+    directly). Digest is computed even for undecodable rows.
 
     safe=True turns decode failures into decode_ok=False rows instead of
     task failures — the quarantine path (F9 analog: route corrupt records to
     a quarantine table instead of aborting the crawl, SURVEY.md §2.2)."""
+    import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                raw = bytes(payload)
+                digest = hashlib.sha256(raw).hexdigest()
                 try:
-                    arr = _decode_any(bytes(payload))
+                    arr = _decode_any(raw)
                 except Exception:
                     if not safe:
                         raise
-                    rows.append({"image_id": image_id, "decode_ok": False,
+                    rows.append({"image_id": image_id, "digest": digest,
+                                 "decode_ok": False,
                                  "h": 0, "w": 0, "mean_r": 0.0, "mean_g": 0.0,
                                  "mean_b": 0.0, "luma_std": 0.0,
                                  "phash_recomputed": 0})
@@ -78,6 +88,7 @@ def image_features(images: DataFrame, safe: bool = False) -> DataFrame:
                 luma = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
                 rows.append({
                     "image_id": image_id,
+                    "digest": digest,
                     "decode_ok": True,
                     "h": int(arr.shape[0]),
                     "w": int(arr.shape[1]),
@@ -88,13 +99,13 @@ def image_features(images: DataFrame, safe: bool = False) -> DataFrame:
                     "phash_recomputed": phash64(arr),
                 })
             yield pd.DataFrame(rows, columns=[
-                "image_id", "decode_ok", "h", "w", "mean_r", "mean_g",
+                "image_id", "digest", "decode_ok", "h", "w", "mean_r", "mean_g",
                 "mean_b", "luma_std", "phash_recomputed",
             ])
 
     return images.select("image_id", "bytes").mapInPandas(
         gen,
-        schema="image_id string, decode_ok boolean, h int, w int, "
+        schema="image_id string, digest string, decode_ok boolean, h int, w int, "
                "mean_r double, mean_g double, mean_b double, "
                "luma_std double, phash_recomputed long",
     )

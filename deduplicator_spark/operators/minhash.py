@@ -73,11 +73,15 @@ def near_caption_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
     ``prepared_features`` frame to share the caption scan with tier 3."""
     if use_arrow:
         prep = prepared if prepared is not None else prepared_features(images, cfg)
-        cands = candidate_pairs_from_bands(banded_from_prepared(prep))
+        cands = candidate_pairs_from_bands(
+            banded_from_prepared(prep),
+            pair_cap=cfg.hot_band_threshold, salt_buckets=cfg.salt_buckets)
         verified = jaccard_verify(cands, prep, cfg.jaccard_threshold, col="sh_hashes")
     else:
         shingled = with_shingles(images, cfg)
-        cands = candidate_pairs_from_bands(minhash_banded(images, cfg))
+        cands = candidate_pairs_from_bands(
+            minhash_banded(images, cfg),
+            pair_cap=cfg.hot_band_threshold, salt_buckets=cfg.salt_buckets)
         verified = jaccard_verify(cands, shingled, cfg.jaccard_threshold)
     return verified.select(
         "id_a", "id_b",

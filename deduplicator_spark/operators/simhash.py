@@ -29,7 +29,9 @@ def phash_banded(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
 
 def near_image_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     """(id_a, id_b, tier='near_image', score=hamming) with hamming <= cfg max."""
-    cands = candidate_pairs_from_bands(phash_banded(images, cfg))
+    cands = candidate_pairs_from_bands(
+        phash_banded(images, cfg),
+        pair_cap=cfg.hot_band_threshold, salt_buckets=cfg.salt_buckets)
     ph = images.select("image_id", "phash")
     verified = (
         cands.join(ph.withColumnRenamed("image_id", "id_a").withColumnRenamed("phash", "ph_a"), "id_a")

@@ -79,19 +79,21 @@ def lookup_digest_url_preferred(probe: DataFrame, index: DataFrame,
                                 probe_id: str = "probe_id") -> DataFrame:
     """J4 — DIGEST_URL_PREFERRED: digest MUST match; exact-URL then
     canonical-URL matches are *preferred* (Lucene SHOULD-term boosting,
-    LuceneIndexSearcher.java:261-272) — a preference, not a guarantee."""
+    LuceneIndexSearcher.java:261-272) — a preference, not a guarantee.
+    SHOULD terms degrade gracefully: a preference column absent from the
+    index (not indexed) simply contributes no boost, mirroring Lucene."""
     idx = _idx(index)
     joined = probe.join(idx, probe["digest"] == idx["idx_digest"], "left")
-    return _top1(
-        joined,
-        probe_id,
-        [
-            (probe["url"] == idx["idx_url"]).cast("int").desc_nulls_last(),
-            (probe["url_canon"] == idx["idx_url_canon"]).cast("int").desc_nulls_last(),
-            F.col("idx_ts").desc_nulls_last(),
-            F.col("idx_record_id").asc_nulls_last(),
-        ],
-    )
+    order = []
+    if "url" in probe.columns and "idx_url" in idx.columns:
+        order.append((probe["url"] == idx["idx_url"]).cast("int").desc_nulls_last())
+    if "url_canon" in probe.columns and "idx_url_canon" in idx.columns:
+        order.append((probe["url_canon"] == idx["idx_url_canon"]).cast("int").desc_nulls_last())
+    order += [
+        F.col("idx_ts").desc_nulls_last(),
+        F.col("idx_record_id").asc_nulls_last(),
+    ]
+    return _top1(joined, probe_id, order)
 
 
 STRATEGIES = {
@@ -102,11 +104,79 @@ STRATEGIES = {
 }
 
 
+class StrategyLegalityError(ValueError):
+    """Typed analog of the reference's open-time legality verification
+    (LuceneIndexSearcher.java:131-170): DIGEST must always be indexed
+    (:135-137, hard failure), and URL strategies are refused when the URL /
+    canonical-URL fields were not indexed (:158-170)."""
+
+
+# MUST-term columns per strategy (digest is universally mandatory);
+# DIGEST_URL_PREFERRED's url columns are SHOULD terms, so not required here
+_REQUIRED_INDEX_COLS = {
+    "URL_EXACT": ("url",),
+    "URL_CANONICAL": ("url_canon",),
+    "DIGEST_ANY": (),
+    "DIGEST_URL_PREFERRED": (),
+}
+
+
+def check_strategy_legality(index: DataFrame, strategy: str) -> None:
+    """Raise StrategyLegalityError when the index schema cannot serve the
+    strategy — the set-oriented form of refusing to open the searcher."""
+    if strategy not in STRATEGIES:
+        raise StrategyLegalityError(
+            f"unknown strategy {strategy!r}; expected one of {sorted(STRATEGIES)}")
+    if "digest" not in index.columns:
+        raise StrategyLegalityError(
+            "index does not contain the mandatory 'digest' column "
+            "(LuceneIndexSearcher.java:135-137)")
+    missing = [c for c in _REQUIRED_INDEX_COLS[strategy] if c not in index.columns]
+    if missing:
+        raise StrategyLegalityError(
+            f"strategy {strategy} requires indexed column(s) {missing} "
+            "(LuceneIndexSearcher.java:158-170)")
+
+
 def lookup(probe: DataFrame, index: DataFrame, strategy: str = "DIGEST_ANY",
            probe_id: str = "probe_id") -> DataFrame:
     """Strategy dispatch — the Index interface (Index.java:5-22) + the
-    switch(strategy) of LuceneIndexSearcher.java:226-239."""
+    switch(strategy) of LuceneIndexSearcher.java:226-239, guarded by the
+    legality matrix."""
+    check_strategy_legality(index, strategy)
     return STRATEGIES[strategy](probe, index, probe_id)
+
+
+def lookup_with_bloom_gate(probe: DataFrame, index: DataFrame,
+                           strategy: str = "DIGEST_ANY",
+                           probe_id: str = "probe_id"):
+    """F10 + A8 — the Bloom definite-miss short-circuit with an observable
+    hit counter (LuceneIndexSearcher.java:172-199 builds the sidecar,
+    :221-224 consults it, :333-335 reports the count).
+
+    Set-oriented form: probes whose digest cannot be in the index
+    (left_anti against the distinct digest set — Spark additionally applies
+    runtime bloom-filter pruning to this join, session.py) skip the strategy
+    join entirely and get their novel verdict directly; the rest go through
+    the full lookup. Returns (matched_df, Observation) — after the caller
+    materializes the result, ``observation.get["bloom_short_circuited"]``
+    is the A8 counter (the observe() analog of the reference AtomicLong).
+    """
+    from pyspark.sql import Observation
+
+    check_strategy_legality(index, strategy)
+    obs = Observation()
+    digests = index.select("digest").distinct()
+    hits = probe.join(digests, "digest", "left_semi")
+    misses = probe.join(digests, "digest", "left_anti").observe(
+        obs, F.count(F.lit(1)).alias("bloom_short_circuited")
+    )
+    matched_hits = STRATEGIES[strategy](hits, index, probe_id)
+    null_idx = [F.lit(None).cast(t).alias(c) for c, t in
+                [(f"idx_{k}", "timestamp" if k == "ts" else "string")
+                 for k in _IDX_COLS if f"idx_{k}" in matched_hits.columns]]
+    matched_misses = misses.select("*", *null_idx)
+    return matched_hits.unionByName(matched_misses), obs
 
 
 def classify_verdicts(matched: DataFrame) -> DataFrame:

@@ -9,15 +9,17 @@ manifest per stage:
 
     <root>/<stage>/data/*.parquet      stage output (atomic via tmp+rename of
                                        the manifest, which is written last)
-    <root>/<stage>/manifest.json       row count, schema, config fingerprint
+    <root>/<stage>/manifest.json       row count, schema, config fingerprint,
+                                       input identity token
     <root>/_lineage/<stage>/*.parquet  per-partition lineage (partition id,
                                        rows, bytes-ish) captured at write time
 
 Resume rule: a stage re-runs unless its manifest exists AND its config
-fingerprint matches the current DedupConfig — a changed shingle size or band
-count silently invalidates every downstream checkpoint (SURVEY.md §7.4 hard
-part #4: config parity must be frozen, so stale checkpoints must never leak
-across configs).
+fingerprint matches the current DedupConfig AND its input identity token
+matches the current input — a changed shingle size, band count, or swapped
+input corpus silently invalidates every downstream checkpoint (SURVEY.md
+§7.4 hard part #4; the Iceberg analog is pinning the source snapshot id in
+the stage metadata).
 """
 
 from __future__ import annotations
@@ -39,16 +41,29 @@ def config_fingerprint(cfg: DedupConfig) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def input_identity(images: DataFrame, id_col: str = "image_id") -> str:
+    """Cheap content identity of the input: (row count, order-invariant id
+    checksum) from one column-pruned agg job — the parquet stand-in for an
+    Iceberg source snapshot id pinned into stage metadata."""
+    row = images.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(id_col).cast("decimal(38,0)")).alias("s"),
+    ).first()
+    return f"{row['n']}:{row['s']}"
+
+
 class StageStore:
     """Parquet-backed stage checkpoint store (Iceberg-snapshot stand-in)."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 cfg: DedupConfig = DEFAULT, run_id: str = "run") -> None:
+                 cfg: DedupConfig = DEFAULT, run_id: str = "run",
+                 input_token: str | None = None) -> None:
         self.spark = spark
         self.root = root
         self.cfg = cfg
         self.run_id = run_id
         self.fingerprint = config_fingerprint(cfg)
+        self.input_token = input_token
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
@@ -57,13 +72,19 @@ class StageStore:
         return os.path.join(self._dir(stage), "manifest.json")
 
     def has(self, stage: str) -> bool:
-        """True iff the stage committed under the SAME config fingerprint."""
+        """True iff the stage committed under the SAME config fingerprint
+        (and, when this store knows its input, the SAME input identity)."""
         try:
             with open(self._manifest(stage)) as f:
                 m = json.load(f)
-            return m.get("config_fingerprint") == self.fingerprint
         except (OSError, ValueError):
             return False
+        if m.get("config_fingerprint") != self.fingerprint:
+            return False
+        if self.input_token is not None and "input_token" in m \
+                and m["input_token"] != self.input_token:
+            return False
+        return True
 
     def write(self, stage: str, df: DataFrame) -> DataFrame:
         """Commit a stage: data parquet, per-partition lineage, manifest last
@@ -96,6 +117,7 @@ class StageStore:
             "rows": n,
             "schema": out.schema.simpleString(),
             "config_fingerprint": self.fingerprint,
+            "input_token": self.input_token,
         }
         tmp = self._manifest(stage) + ".tmp"
         with open(tmp, "w") as f:
@@ -119,25 +141,55 @@ def run_pipeline_resumable(
     verify_pixels: bool = True,
     run_id: str = "run",
     stop_after: str | None = None,
+    validate_payloads: bool = True,
 ):
     """Checkpointed variant of plans.pipeline.run_pipeline.
 
-    Stages: edges -> clusters -> verdicts -> metrics. Each commits to the
-    StageStore; on restart, committed stages (same config fingerprint) are
-    read back instead of recomputed. ``stop_after`` simulates a mid-job kill
+    Stages: validate -> edges -> clusters -> verdicts -> metrics. Each
+    commits to the StageStore; on restart, committed stages (same config
+    fingerprint AND same input identity) are read back instead of
+    recomputed. The validate stage commits the fused digest+quarantine
+    features, so the resumable path applies the SAME payload validation as
+    run_pipeline and resume stays deterministic across a kill between
+    validation and edge generation. ``stop_after`` simulates a mid-job kill
     for resume tests (returns None after committing that stage).
     """
     from ..operators.candidates import canonical_pairs
     from ..operators.components import connected_components
-    from .pipeline import DedupResult, candidate_edges, verdicts_from_clusters
+    from .pipeline import (
+        DedupResult,
+        bad_ids_from_features,
+        build_metrics,
+        candidate_edges,
+        validation_features,
+        verdicts_from_clusters,
+    )
 
     spark = images.sparkSession
-    store = StageStore(spark, root, cfg, run_id)
+    store = StageStore(spark, root, cfg, run_id,
+                       input_token=input_identity(images))
+
+    bad = None
+    digests = None
+    if validate_payloads:
+        if store.has("validate"):
+            feats = store.read("validate")
+        else:
+            feats = store.write("validate", validation_features(images))
+        if stop_after == "validate":
+            return None
+        bad = bad_ids_from_features(feats, cfg)
+        images = images.join(F.broadcast(bad), "image_id", "left_anti")
+        digests = feats.join(F.broadcast(bad), "image_id", "left_anti") \
+            .select("image_id", "digest")
 
     if store.has("edges"):
         edges = store.read("edges")
     else:
-        edges = store.write("edges", candidate_edges(images, cfg, tiers, verify_pixels))
+        edges = store.write(
+            "edges",
+            candidate_edges(images, cfg, tiers, verify_pixels, digests=digests),
+        )
     if stop_after == "edges":
         return None
 
@@ -162,18 +214,9 @@ def run_pipeline_resumable(
     if store.has("metrics"):
         metrics = store.read("metrics")
     else:
-        m = [("input", "rows", float(images.count())),
-             ("candidates", "verified_pairs", float(edges.count()))]
-        for row in edges.groupBy("tier").agg(F.count("*").alias("n")).collect():
-            m.append(("candidates", f"pairs_{row['tier']}", float(row["n"])))
-        for row in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect():
-            m.append(("verdicts", row["verdict"], float(row["n"])))
         metrics = store.write(
             "metrics",
-            spark.createDataFrame(
-                [(run_id, s, k, v) for s, k, v in m],
-                "run_id string, stage string, metric string, value double",
-            ),
+            build_metrics(run_id, images, edges, verdicts, quarantined=bad),
         )
 
     return DedupResult(pairs=edges, clusters=clusters, verdicts=verdicts, metrics=metrics)

@@ -5,11 +5,19 @@ The distributed re-expression of the reference's per-URI processing chain
 reference probes one record at a time against a frozen Lucene index, this runs
 the whole corpus through four similarity tiers as set-oriented jobs, then
 assigns every row a verdict + refers-to lineage in one pass.
+
+Payload-byte passes (the 100 TB cost driver): with validate_payloads=True the
+exact sha256 digest rides in the SAME Arrow decode pass as payload validation
+(operators/media.image_features), so the full corpus bytes are read exactly
+ONCE up front; the only other byte read is the PSNR verification join, which
+touches candidate pairs only. With validation off, the exact tier's JVM
+sha2 scan is the single full read. Bytes are never cached.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -18,7 +26,7 @@ from ..config import DEFAULT, DedupConfig
 from ..operators.candidates import canonical_pairs
 from ..operators.components import connected_components
 from ..operators.containment import containment_pairs
-from ..operators.exact import exact_pairs
+from ..operators.exact import exact_pairs, exact_pairs_from_digests
 from ..operators.minhash import near_caption_pairs
 from ..operators.simhash import near_image_pairs
 from ..operators.verify import verify_image_pairs
@@ -31,14 +39,19 @@ class DedupResult:
     pairs: DataFrame      # verified edges (id_a, id_b, tier, score)
     clusters: DataFrame   # (image_id, cluster_id)
     verdicts: DataFrame   # VERDICTS_SCHEMA
-    metrics: DataFrame    # (stage, metric, value)
+    metrics: DataFrame    # (run_id, stage, metric, value) — LAZY plan, not
+                          # driver-collected: materializes only when consumed
 
 
 def candidate_edges(images: DataFrame, cfg: DedupConfig = DEFAULT,
                     tiers: tuple[str, ...] = ("exact", "near_image",
                                               "near_caption", "containment"),
-                    verify_pixels: bool = True) -> DataFrame:
-    """Union of verified duplicate edges across the enabled tiers."""
+                    verify_pixels: bool = True,
+                    digests: DataFrame | None = None) -> DataFrame:
+    """Union of verified duplicate edges across the enabled tiers.
+
+    ``digests`` (image_id, digest) lets the exact tier reuse digests already
+    computed by an upstream validation pass instead of rescanning bytes."""
     parts = []
     prepared = None
     if "near_caption" in tiers or "containment" in tiers:
@@ -48,7 +61,8 @@ def candidate_edges(images: DataFrame, cfg: DedupConfig = DEFAULT,
 
         prepared = prepared_features(images, cfg).persist()
     if "exact" in tiers:
-        parts.append(exact_pairs(images))
+        parts.append(exact_pairs(images) if digests is None
+                     else exact_pairs_from_digests(digests))
     if "near_image" in tiers:
         ni = near_image_pairs(images, cfg)
         if verify_pixels:
@@ -114,25 +128,68 @@ def verdicts_from_clusters(images: DataFrame, clusters: DataFrame,
     )
 
 
-def quarantine_ids(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def validation_features(images: DataFrame) -> DataFrame:
+    """One full-corpus Arrow decode pass: (image_id, digest, decode_ok,
+    phash_recomputed, phash). Feeds BOTH the quarantine gate and the exact
+    tier — the payload bytes are read exactly once for the two of them."""
+    from ..operators.media import image_features
+
+    feats = image_features(images, safe=True).select(
+        "image_id", "digest", "decode_ok", "phash_recomputed"
+    )
+    return feats.join(images.select("image_id", "phash"), "image_id")
+
+
+def bad_ids_from_features(feats: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     """F9/P9 analog: rows whose payload doesn't decode, or whose stored phash
     is irreconcilable with the pixel-recomputed one, are quarantined instead
     of aborting the job (the reference hard-fails on digest mismatch,
     DeDuplicator.java:169-172, and on URL sanity, IndexBuilder.java:180-185;
-    at web scale corrupt records are routine, so they route to a table).
-    Full-corpus decode pass in bounded Arrow batches; output is the (tiny)
-    bad-id set, broadcast-anti-joined against the input."""
-    from ..operators.media import image_features
-
-    feats = image_features(images, safe=True).select(
-        "image_id", "decode_ok", "phash_recomputed"
-    )
-    joined = images.select("image_id", "phash").join(feats, "image_id")
-    return joined.filter(
+    at web scale corrupt records are routine, so they route to a table)."""
+    return feats.filter(
         (~F.col("decode_ok"))
         | (F.bit_count(F.col("phash").bitwiseXOR(F.col("phash_recomputed")))
            > cfg.phash_validate_max_hamming)
     ).select("image_id")
+
+
+def quarantine_ids(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """Standalone quarantine gate (one decode pass; see validation_features
+    for the fused digest+validation form pipelines should prefer)."""
+    return bad_ids_from_features(validation_features(images), cfg)
+
+
+def _metric_rows(df: DataFrame, stage: str, metric, value) -> DataFrame:
+    return df.select(
+        F.lit(stage).alias("stage"),
+        (F.lit(metric) if isinstance(metric, str) else metric).alias("metric"),
+        value.cast("double").alias("value"),
+    )
+
+
+def build_metrics(run_id: str, images: DataFrame, edges: DataFrame,
+                  verdicts: DataFrame,
+                  quarantined: DataFrame | None = None) -> DataFrame:
+    """A1-A4/A7 counters as a LAZY metrics plan (no driver collect; the
+    reference's AtomicLong counters become aggregation queries that evaluate
+    only when the metrics table is written/consumed)."""
+    parts = [
+        _metric_rows(images.agg(F.count("*").alias("n")), "input", "rows", F.col("n")),
+        _metric_rows(
+            (quarantined.agg(F.count("*").alias("n")) if quarantined is not None
+             else images.limit(0).agg(F.count("*").alias("n"))),
+            "input", "quarantined", F.coalesce(F.col("n"), F.lit(0))),
+        _metric_rows(edges.agg(F.count("*").alias("n")),
+                     "candidates", "verified_pairs", F.col("n")),
+        _metric_rows(edges.groupBy("tier").agg(F.count("*").alias("n")),
+                     "candidates", F.concat(F.lit("pairs_"), F.col("tier")),
+                     F.col("n")),
+        _metric_rows(verdicts.groupBy("verdict").agg(F.count("*").alias("n")),
+                     "verdicts", F.col("verdict"), F.col("n")),
+    ]
+    return reduce(DataFrame.unionByName, parts).select(
+        F.lit(run_id).alias("run_id"), "stage", "metric", "value"
+    )
 
 
 def run_pipeline(images: DataFrame, cfg: DedupConfig = DEFAULT,
@@ -145,37 +202,26 @@ def run_pipeline(images: DataFrame, cfg: DedupConfig = DEFAULT,
     """persist_input=True caches the full input (right for synthesized or
     expensive-to-recompute inputs at sandbox scale). For a parquet/Iceberg
     source pass False: each tier then scans only its pruned columns from
-    storage (bytes are read exactly twice — exact digest + PSNR verify) —
+    storage; the payload bytes are read once up front (fused
+    validation+digest pass) plus once per verified-candidate PSNR join —
     you cannot cache 100 TB of payload bytes, and the narrow caption/phash
     projections the other tiers need are cached separately anyway."""
     if persist_input:
         images = images.persist()
-    n_quarantined = 0
+    bad = None
+    digests = None
     if validate_payloads:
-        bad = quarantine_ids(images, cfg).persist()
-        n_quarantined = bad.count()
-        if n_quarantined:
-            images = images.join(F.broadcast(bad), "image_id", "left_anti")
-    edges = candidate_edges(images, cfg, tiers, verify_pixels).persist()
+        feats = validation_features(images).persist()
+        bad = bad_ids_from_features(feats, cfg)
+        # broadcast anti-join of the (tiny) bad set; no eager count needed
+        images = images.join(F.broadcast(bad), "image_id", "left_anti")
+        digests = feats.join(F.broadcast(bad), "image_id", "left_anti") \
+            .select("image_id", "digest")
+    edges = candidate_edges(images, cfg, tiers, verify_pixels,
+                            digests=digests).persist()
     clusters = connected_components(
         canonical_pairs(edges), nodes=images.select("image_id"), cfg=cfg
     )
     verdicts = verdicts_from_clusters(images, clusters, edges)
-
-    spark = images.sparkSession
-    tier_counts = {r["tier"]: r["n"] for r in
-                   edges.groupBy("tier").agg(F.count("*").alias("n")).collect()}
-    m = [
-        ("input", "rows", float(images.count())),  # cached input: trivial job
-        ("input", "quarantined", float(n_quarantined)),
-        ("candidates", "verified_pairs", float(sum(tier_counts.values()))),
-    ]
-    vstats = {r["verdict"]: r["n"] for r in
-              verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()}
-    m += [("verdicts", k, float(v)) for k, v in sorted(vstats.items())]
-    m += [("candidates", f"pairs_{t}", float(n)) for t, n in sorted(tier_counts.items())]
-    metrics = spark.createDataFrame(
-        [(run_id, s, k, v) for s, k, v in m],
-        "run_id string, stage string, metric string, value double",
-    )
+    metrics = build_metrics(run_id, images, edges, verdicts, quarantined=bad)
     return DedupResult(pairs=edges, clusters=clusters, verdicts=verdicts, metrics=metrics)

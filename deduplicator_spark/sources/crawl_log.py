@@ -55,16 +55,22 @@ def parse_crawl_log_lines(
         lines.select(f.alias("f"), F.length(F.trim(F.col(col))).alias("_len"))
         .filter((F.size("f") >= 10) & (F.col("_len") > 42))
         .select(
-            F.element_at("f", 2).cast("int").alias("status"),
-            F.element_at("f", 3).cast("long").alias("bytes_len"),
+            # try_cast / try_to_timestamp, NOT cast: under Spark's ANSI
+            # default a single '-' size or garbled timestamp on an otherwise
+            # valid line must degrade to a null field (the reference ignores
+            # the size field entirely and tolerates such lines), not abort
+            # the whole job. A non-numeric status parses to null and is then
+            # dropped by the status>0 gate below.
+            F.element_at("f", 2).try_cast("int").alias("status"),
+            F.element_at("f", 3).try_cast("long").alias("bytes_len"),
             F.element_at("f", 4).alias("url"),
             F.element_at("f", 5).alias("hop_path"),
             F.element_at("f", 6).alias("via"),
             F.element_at("f", 7).alias("mime"),
             # first 14 of the 17 digits: the reference reformats to
             # second-precision w3c-iso8601 anyway (IndexBuilder.java:52)
-            F.to_timestamp(
-                F.substring(F.element_at("f", 9), 1, 14), "yyyyMMddHHmmss"
+            F.try_to_timestamp(
+                F.substring(F.element_at("f", 9), 1, 14), F.lit("yyyyMMddHHmmss")
             ).alias("ts"),
             F.element_at("f", 10).alias("digest"),
             F.substring_index(F.element_at("f", 10), ":", -1).alias("digest_stripped"),

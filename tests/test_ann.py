@@ -1,0 +1,66 @@
+"""ANN scale-path hardening: the hyperplane-LSH top-k must keep recall when
+the plane count is raised to web-scale settings (16 planes = 65536 buckets)
+with radius-2 multiprobe, and the bucket cap must bound candidate fan-out
+deterministically."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _clustered_embeddings(spark, n_bases=20, copies=4, dim=32, seed=11):
+    """n_bases query vectors (ids 0..n_bases-1), each with `copies` planted
+    near-duplicates (cos >= 0.999), plus random background vectors."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    vid = 0
+    bases = rng.normal(size=(n_bases, dim))
+    for b in range(n_bases):
+        rows.append((vid, [float(x) for x in bases[b]])); vid += 1
+    copy_of = {}
+    for b in range(n_bases):
+        for _ in range(copies):
+            noisy = bases[b] + rng.normal(scale=0.005, size=dim)
+            copy_of[vid] = b
+            rows.append((vid, [float(x) for x in noisy])); vid += 1
+    for _ in range(100):
+        rows.append((vid, [float(x) for x in rng.normal(size=dim)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, copy_of
+
+
+def test_ann_16_planes_recall(spark):
+    """At 16 planes + radius-2 multiprobe, every query's planted copies are
+    found and ranked by cosine — recall@copies >= 0.95 over planted truth."""
+    from deduplicator_spark.operators.ann import ann_topk_lsh
+
+    emb, copy_of = _clustered_embeddings(spark)
+    out = ann_topk_lsh(emb, dim=32, k=4, n_queries=20,
+                       n_planes=16, probe_radius=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    truth = {b: {v for v, bb in copy_of.items() if bb == b} for b in range(20)}
+    hits = sum(len(set(by_q.get(q, [])) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.95, f"recall {hits}/{total}"
+    for r in out:  # planted copies are near-identical
+        if r["neighbor_id"] in copy_of and copy_of[r["neighbor_id"]] == r["query_id"]:
+            assert r["cos"] > 0.999
+
+
+def test_ann_bucket_cap_bounds_candidates(spark):
+    """bucket_cap keeps mega-buckets bounded: with a cap of 3, no query can
+    score more than cap * n_probed_buckets candidates, and the output stays
+    deterministic (smallest ids win the cap)."""
+    from deduplicator_spark.operators.ann import ann_topk_lsh
+
+    # 60 identical vectors -> one mega-bucket
+    v = [1.0] + [0.0] * 15
+    emb = spark.createDataFrame([(i, v) for i in range(60)],
+                                "vec_id long, embedding array<double>")
+    out = ann_topk_lsh(emb, dim=16, k=50, n_queries=1, n_planes=8,
+                       probe_radius=0, bucket_cap=3).collect()
+    ids = sorted(r["neighbor_id"] for r in out)
+    assert ids == [1, 2]  # cap keeps vec_ids 0,1,2; query 0 excluded itself

@@ -75,6 +75,56 @@ def test_lineage_and_manifest_contents(spark, images_500, tmp_path):
     assert "image_id" in m["schema"]
 
 
+def test_resume_with_corrupt_input_quarantines(spark, images_500, tmp_path):
+    """The resumable path must apply the SAME payload validation as
+    run_pipeline: a corrupt row is quarantined (own committed stage), never
+    clustered, and resume after a kill reproduces the clean result."""
+    from pyspark.sql import functions as F
+
+    corrupt = spark.createDataFrame(
+        [("zzz-corrupt-bytes", bytearray(b"NOT AN IMAGE"), 8, 8, "png",
+          "some caption text here", 0)],
+        images_500.schema,
+    )
+    df = images_500.unionByName(corrupt).persist()
+    root = str(tmp_path / "ckptq")
+
+    out = run_pipeline_resumable(df, root, stop_after="validate")
+    assert out is None
+    assert os.path.exists(os.path.join(root, "validate", "manifest.json"))
+
+    resumed = run_pipeline_resumable(df, root)
+    ids = {r["image_id"] for r in resumed.verdicts.collect()}
+    assert "zzz-corrupt-bytes" not in ids and len(ids) == 500
+    q = {r["metric"]: r["value"] for r in
+         resumed.metrics.filter("stage = 'input'").collect()}
+    assert q["quarantined"] == 1.0
+    direct = run_pipeline(df)
+    assert _verdict_set(resumed.verdicts) == _verdict_set(direct.verdicts)
+
+
+def test_changed_input_invalidates_checkpoints(spark, images_500, tmp_path):
+    """Stale stages from a DIFFERENT input corpus must not be reused: the
+    manifest records an input identity token (the Iceberg snapshot-id
+    analog) and has() rejects on mismatch."""
+    from deduplicator_spark.plans.checkpoint import input_identity
+    from deduplicator_spark.synth import synthesize_images
+
+    root = str(tmp_path / "ckpti")
+    run_pipeline_resumable(images_500, root, stop_after="edges")
+
+    other = synthesize_images(spark, 300).persist()
+    assert input_identity(other) != input_identity(images_500)
+    store_other = StageStore(spark, root, input_token=input_identity(other))
+    assert not store_other.has("edges")
+    store_same = StageStore(spark, root, input_token=input_identity(images_500))
+    assert store_same.has("edges")
+    # a full run on the other corpus recomputes and yields 300 verdicts
+    res = run_pipeline_resumable(other, root)
+    assert res.verdicts.count() == 300
+    other.unpersist()
+
+
 def test_cli_run_synth(tmp_path, spark):
     from deduplicator_spark.cli import main
 

@@ -14,8 +14,9 @@ with zero local processes), so:
 - the 1-minute load average is sampled before every timed run and reported;
 - the corpus is pre-written parquet (synthesis at full parallelism is input
   materialization, not dedup work) and the pipeline runs persist_input=False:
-  every tier scans only its pruned columns; payload bytes are read exactly
-  twice (exact digest + PSNR verify), never cached — the 100 TB-correct shape;
+  every tier scans only its pruned columns; the full-corpus payload bytes are
+  read exactly once (fused digest+validation Arrow pass) plus a
+  candidate-pairs-only PSNR read, never cached — the 100 TB-correct shape;
 - a warm-up pipeline runs once per Spark context so one-time codegen/JIT
   compile (a per-process constant, not a per-row cost) stays out of the
   steady-state number.
@@ -118,8 +119,9 @@ def main() -> None:
 
 North rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
 executors. Sandbox evidence (per driver instruction): the same end-to-end
-dedup job (parquet corpus scan with column pruning -> 4-tier cascade -> PSNR
-verify -> connected components -> verdicts; payload bytes read twice, never
+dedup job (parquet corpus scan with column pruning -> fused digest+validation
+pass -> 4-tier cascade -> PSNR verify -> connected components -> verdicts;
+full-corpus bytes read once, candidate pairs re-read for PSNR, never
 cached — the 100 TB-correct shape) on the SAME pre-written {n}-image
 deterministic parquet corpus at two local parallelism levels.
 
