@@ -55,8 +55,11 @@ class DedupConfig:
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 4096          # bounded Arrow batches for image decode UDFs
     cc_max_iters: int = 50                # connected-components safety bound
-    checkpoint_every: int = 2             # CC: rounds per lazy batch between
-                                          # checkpoint + convergence checks
+    checkpoint_every: int = 1             # CC: rounds per lazy batch between
+                                          # convergence checks (dedup graphs
+                                          # are star-shaped and converge in
+                                          # 1-2 rounds; raise for deep graphs
+                                          # to amortize the per-batch job)
 
     def __post_init__(self) -> None:
         assert self.minhash_perms == self.lsh_bands * self.lsh_rows

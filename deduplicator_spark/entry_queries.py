@@ -542,6 +542,20 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, EMB_DIM)
 
 
+NEARDUP_COS_T = 0.35  # driver embeddings are random; 0.35 yields a few
+                      # hundred genuine pairs at sf0.01 to exercise the join
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup self-join via shared LSH buckets + exact
+    cosine verify — the O(n + collisions) scale path (never an all-pairs
+    cross join). Oracle: generated DuckDB twin (identical planes/probing)."""
+    from .operators.ann import cosine_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, EMB_DIM, threshold=NEARDUP_COS_T)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     return (
@@ -638,7 +652,12 @@ def q_crawl_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly — so the whole render->parse round trip is verified."""
     from .sources.crawl_log import parse_crawl_log_lines
 
-    c = captures_from_events(load(spark, sf_dir, "events"))
+    # the events table is one small file -> one input split; spread the
+    # render+parse regex work across the cluster up front (at real scale log
+    # files split naturally — small-file testdata artifact)
+    events = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism)
+    c = captures_from_events(events)
     is_rev = F.col("probe_id") % 5 == 0
     line = F.concat_ws(
         " ",
@@ -779,6 +798,32 @@ def q_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 composed crawl-time probe (DeDuplicator.java:149-192): F4/F5/F6
+    gates -> P1 canonicalize -> DIGEST_ANY lookup -> verdict + K2 crawl.log
+    annotation + JSON extra-info + K3 lineage. Every 7th probe arrives
+    pre-flagged as a revisit and must be gated out (F6)."""
+    from .plans.probe import probe_captures
+
+    c = captures_from_events(load(spark, sf_dir, "events"))
+    probe = (
+        c.filter(F.col("is_probe")).drop("is_probe")
+        .withColumn("revisit", F.col("probe_id") % 7 == 0)
+    )
+    index = (
+        c.filter(~F.col("is_probe") & (F.col("status") == 200))
+        .filter(~F.col("mime").rlike("^text/.*"))
+        .drop("is_probe")
+    )
+    out = probe_captures(probe, index)
+    return out.select(
+        "probe_id", "url", "digest", "verdict", "dup_class",
+        "refers_to_uri",
+        F.date_format("refers_to_date", "yyyy-MM-dd HH:mm:ss").alias("refers_to_date"),
+        "refers_to_record_id", "annotation", "extra_json",
+    )
+
+
 def q_dup_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3: per-class duplicate counts + byte totals over DIGEST_ANY verdicts."""
     probe, index = _probe_index(load(spark, sf_dir, "events"))
@@ -811,6 +856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strategy_digest_url_preferred": _strategy_query("DIGEST_URL_PREFERRED"),
     "crawl_log_parse": q_crawl_log_parse,
     "lastwins_index": q_lastwins_index,
+    "crawl_probe": q_crawl_probe,
     "index_build": q_index_build,
     "index_build_report": q_index_build_report,
     "dup_report": q_dup_report,
@@ -826,6 +872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_confusion": q_langid_confusion,
     "embedding_topk": q_embedding_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "image_dedup_verdicts": q_image_dedup_verdicts,
 }
 
@@ -928,6 +975,45 @@ FROM (
          row_number() OVER (PARTITION BY url, digest ORDER BY ts DESC, record_id DESC) AS rn
   FROM cap WHERE status = 200
 ) WHERE rn = 1
+""",
+    "crawl_probe": f"""
+WITH cap AS ({_CAPTURES_SQL}),
+probe AS (
+  SELECT * EXCLUDE (is_probe) FROM cap
+  WHERE is_probe AND status BETWEEN 200 AND 299
+    AND url LIKE 'http%' AND NOT (probe_id % 7 = 0)
+),
+idx AS ({_INDEX_SQL}),
+j AS (
+  SELECT p.probe_id, p.url, p.url_canon, p.digest,
+         i.url AS idx_url, i.url_canon AS idx_url_canon, i.digest AS idx_digest,
+         i.ts AS idx_ts, i.record_id AS idx_record_id,
+         row_number() OVER (PARTITION BY p.probe_id
+                            ORDER BY i.ts DESC NULLS LAST, i.record_id ASC NULLS LAST) AS rn
+  FROM probe p LEFT JOIN idx i ON p.digest = i.digest
+),
+v AS (
+  SELECT probe_id, url, digest,
+    CASE WHEN idx_digest IS NULL THEN 'novel' ELSE 'duplicate' END AS verdict,
+    CASE WHEN idx_digest IS NULL THEN NULL
+         WHEN url = idx_url THEN 'exact_url'
+         WHEN url_canon = idx_url_canon THEN 'canonical_url'
+         ELSE 'digest_only' END AS dup_class,
+    idx_url AS refers_to_uri,
+    strftime(idx_ts, '%Y-%m-%d %H:%M:%S') AS refers_to_date,
+    strftime(idx_ts, '%Y-%m-%dT%H:%M:%SZ') AS refers_to_date_json,
+    idx_record_id AS refers_to_record_id
+  FROM j WHERE rn = 1
+)
+SELECT probe_id, url, digest, verdict, dup_class,
+  refers_to_uri, refers_to_date, refers_to_record_id,
+  CASE WHEN verdict = 'duplicate'
+       THEN 'duplicate:digest,Revisit:IdenticalPayloadDigest' END AS annotation,
+  CASE WHEN verdict = 'duplicate'
+       THEN '{{"RevisitProfile":"http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"'
+            || ',"RevisitRefersToURI":"' || refers_to_uri
+            || '","RevisitRefersToDate":"' || refers_to_date_json || '"}}' END AS extra_json
+FROM v
 """,
     "index_build": f"""
 WITH {_INDEX_BUILD_CORE_SQL}
@@ -1072,4 +1158,11 @@ def _ann_oracle() -> str:
     return ann_lsh_oracle_sql(dim=EMB_DIM)
 
 
+def _neardup_oracle() -> str:
+    from .operators.ann import cosine_neardup_oracle_sql
+
+    return cosine_neardup_oracle_sql(dim=EMB_DIM, threshold=NEARDUP_COS_T)
+
+
 ORACLES["ann_topk_lsh"] = _ann_oracle()
+ORACLES["embedding_neardup_pairs"] = _neardup_oracle()

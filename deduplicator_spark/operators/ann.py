@@ -138,6 +138,96 @@ def ann_topk_lsh(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
     )
 
 
+def cosine_neardup_pairs(emb: DataFrame, dim: int, threshold: float = 0.95,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         n_planes: int = ANN_PLANES, probe_radius: int = 1,
+                         bucket_cap: int = ANN_BUCKET_CAP,
+                         seed: int = ANN_SEED) -> DataFrame:
+    """Embedding-cosine near-duplicate SELF-JOIN: (id_a < id_b, cos) for
+    pairs landing in a shared (multiprobed) LSH bucket with cos >= threshold.
+
+    The scale path for 'embedding near-dup' dedup: candidates are an
+    equi-join on bucket (O(n + collisions)), never an all-pairs cross join;
+    exact cosine verifies candidates. Recall comes from plane count + probe
+    radius (planted-truth pytest pins >= 0.95 for near-identical vectors);
+    determinism is the same integer-plane contract as ann_topk_lsh, so the
+    generated DuckDB oracle is bit-identical.
+    """
+    base = emb.select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    sig = with_lsh_bucket(base, dim, vec_col="v", n_planes=n_planes, seed=seed)
+    wb = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+    capped = (
+        sig.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= bucket_cap)
+        .drop("_bn")
+        .persist()
+    )
+    probes = capped.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.explode(multiprobe_buckets(F.col("bucket"), n_planes,
+                                     probe_radius)).alias("bucket"))
+    cands = (
+        probes.join(capped.select(F.col(id_col).alias("id_b"),
+                                  F.col("v").alias("vb"), "bucket"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return (
+        cands.select("id_a", "id_b",
+                     (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"))
+        .distinct()  # pairs can collide in several probed buckets
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def cosine_neardup_oracle_sql(dim: int, threshold: float = 0.95,
+                              n_planes: int = ANN_PLANES, probe_radius: int = 1,
+                              bucket_cap: int = ANN_BUCKET_CAP,
+                              seed: int = ANN_SEED) -> str:
+    """DuckDB twin of cosine_neardup_pairs (same planes/masks/cap)."""
+    planes = lsh_planes(dim, n_planes, seed)
+    values = ",\n    ".join(f"({i}, {planes[i].tolist()})" for i in range(n_planes))
+    masks = ", ".join(str(m) for m in _flip_masks(n_planes, probe_radius))
+    return f"""
+WITH eq AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * {ANN_QUANT}) AS BIGINT)) AS vq
+  FROM embeddings
+),
+planes(idx, p) AS (VALUES
+    {values}
+),
+sig AS (
+  SELECT vec_id, v,
+         CAST(sum(CASE WHEN list_dot_product(vq, p) > 0 THEN 1 << idx ELSE 0 END) AS BIGINT) AS bucket
+  FROM eq CROSS JOIN planes GROUP BY vec_id, v
+),
+capped AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT vec_id, v, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS bn
+    FROM sig
+  ) WHERE bn <= {bucket_cap}
+),
+probes AS (
+  SELECT vec_id AS id_a, v AS va, xor(bucket, CAST(m AS BIGINT)) AS bucket
+  FROM capped CROSS JOIN (SELECT unnest([{masks}]) AS m) t
+),
+pairs AS (
+  SELECT DISTINCT p.id_a, s.vec_id AS id_b,
+         list_dot_product(p.va, s.v)
+           / (sqrt(list_dot_product(p.va, p.va)) * sqrt(list_dot_product(s.v, s.v))) AS cos
+  FROM probes p JOIN capped s USING (bucket)
+  WHERE p.id_a < s.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
+"""
+
+
 def ann_lsh_oracle_sql(dim: int, k: int = 5, n_queries: int = 20,
                        n_planes: int = ANN_PLANES, probe_radius: int = 1,
                        bucket_cap: int = ANN_BUCKET_CAP,

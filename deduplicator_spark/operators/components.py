@@ -74,20 +74,23 @@ def connected_components(
         .agg(F.min("label").alias("label"))
     )
 
-    # Lazy-batched iteration: run `batch` propagation rounds without any
-    # action, then ONE job that materializes the (lazily) checkpointed
-    # frontier AND collects the convergence checksum. Plan depth within a
-    # batch doubles per round, but batches are short (2-3) and the
-    # checkpoint truncates lineage between them.
+    # Lazy-batched iteration: every round ends in a LAZY localCheckpoint —
+    # nothing runs yet, but the checkpoint makes round N+1 reference round
+    # N's RDD *structurally* (computed once at materialization) instead of
+    # duplicating its Catalyst plan (a union references labels twice; without
+    # the per-round checkpoint the physical plan doubles every round and AQE
+    # re-executes the duplicated subtrees). The driver then pays ONE job per
+    # `batch` rounds: the convergence-checksum action, which materializes
+    # the whole checkpointed chain.
     batch = max(1, cfg.checkpoint_every)
     prev_state: tuple = ()
     it = 0
     converged = False
+    labels = labels.localCheckpoint(eager=False)
     while it < cfg.cc_max_iters:
         for _ in range(min(batch, cfg.cc_max_iters - it)):
-            labels = _propagate(edges, labels, id_col)
+            labels = _propagate(edges, labels, id_col).localCheckpoint(eager=False)
             it += 1
-        labels = labels.localCheckpoint(eager=False)
         # order-invariant checksum of the assignment; labels only ever
         # decrease, so (count, sum) unchanged across a batch <=> fixed point
         row = labels.agg(

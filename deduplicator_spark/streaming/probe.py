@@ -75,6 +75,22 @@ def verdict_rollup_stream(verdicts: DataFrame, window: str = "1 hour",
     )
 
 
+def streaming_exact_dedup(captures: DataFrame, key: str = "digest",
+                          ts_col: str = "ts",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming exact dedup: the FIRST capture per digest passes,
+    later re-occurrences within the watermark horizon are dropped — the
+    incremental form of the index-build upsert (a capture stream feeding a
+    growing digest index) using Spark's watermarked dedup state store. State
+    per key is bounded by the watermark, so a 100 TB/day stream holds only
+    the horizon's distinct digests in state."""
+    captures = captures.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        captures.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([key])
+    )
+
+
 def run_probe_to_memory(spark: SparkSession, captures: DataFrame,
                         static_index: DataFrame, table_name: str,
                         keys: tuple[str, ...] = ("digest",)) -> None:

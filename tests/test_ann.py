@@ -50,6 +50,29 @@ def test_ann_16_planes_recall(spark):
             assert r["cos"] > 0.999
 
 
+def test_cosine_neardup_pairs_recall(spark):
+    """The embedding near-dup self-join finds every planted near-identical
+    pair (cos >= 0.99) at 16 planes + radius-2 multiprobe, and emits no
+    below-threshold pair."""
+    from deduplicator_spark.operators.ann import cosine_neardup_pairs
+
+    emb, copy_of = _clustered_embeddings(spark)
+    out = cosine_neardup_pairs(emb, dim=32, threshold=0.99,
+                               n_planes=16, probe_radius=2).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    # planted truth: base<->copy and copy<->copy within each base group
+    groups = {}
+    for v, b in copy_of.items():
+        groups.setdefault(b, [b]).append(v)
+    truth = set()
+    for members in groups.values():
+        ms = sorted(members)
+        truth |= {(a, b) for i, a in enumerate(ms) for b in ms[i + 1:]}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    assert all(r["cos"] >= 0.99 for r in out)
+
+
 def test_ann_bucket_cap_bounds_candidates(spark):
     """bucket_cap keeps mega-buckets bounded: with a cap of 3, no query can
     score more than cap * n_probed_buckets candidates, and the output stays

@@ -44,6 +44,32 @@ def test_stream_static_probe_matches_batch(spark, tmp_path):
     assert any(v == "duplicate" for _, v, _ in got)
 
 
+def test_streaming_exact_dedup_keeps_first_per_digest(spark, tmp_path):
+    """Stateful watermarked dedup: exactly one capture survives per digest
+    across micro-batches (the incremental index-build upsert)."""
+    from deduplicator_spark.streaming.probe import (
+        read_capture_stream,
+        streaming_exact_dedup,
+    )
+
+    probe, _ = _probe_and_index(spark)
+    src = str(tmp_path / "dedup_src")
+    probe.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = read_capture_stream(spark, src, schema, max_files_per_trigger=2)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory").queryName("dedup_out")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_out").collect()
+    digests = [r["digest"] for r in got]
+    assert len(digests) == len(set(digests))  # one row per digest
+    assert set(digests) == {r["digest"] for r in probe.collect()}  # none lost
+
+
 def test_verdict_rollup_stream(spark, tmp_path):
     from deduplicator_spark.streaming.probe import (
         probe_stream,
