@@ -77,7 +77,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "total runtime: 31 driver-contract queries (30 DuckDB-oracled) + "
+        "metric": "total runtime: 33 driver-contract queries (32 DuckDB-oracled) + "
                   "end-to-end image dedup pipeline (fused validate/digest pass + "
                   "4-tier cascade + PSNR verify + CC clustering)",
         "value": total,

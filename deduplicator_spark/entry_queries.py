@@ -419,6 +419,29 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer regex (contractions | space?-letters |
+# space?-digits | space?-punct-run); identical pattern string in both
+# engines (Java regex and RE2 agree on this subset)
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-pretokenizer flavor: tokens/doc under the GPT-2
+    split regex — the training-data budgeting counterpart of the whitespace
+    token_stats query."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return (
+        docs.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_bpe_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_bpe_tokens"),
+        )
+    )
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score buckets: token count, type-token ratio, stopword ratio —
     the standard cheap text-quality heuristics, groupBy'd into buckets."""
@@ -540,6 +563,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return ann_topk_lsh(emb, EMB_DIM)
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN variant: coarse centroid assignment (exact integer
+    dots) -> nprobe centroid lists -> exact cosine rank. The inverted-file
+    counterpart of the hyperplane-LSH path."""
+    from .operators.ann import ann_topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb, EMB_DIM)
 
 
 NEARDUP_COS_T = 0.35  # driver embeddings are random; 0.35 yields a few
@@ -868,10 +901,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "doc_fingerprint": q_doc_fingerprint,
     "token_stats": q_token_stats,
+    "token_stats_bpe": q_token_stats_bpe,
     "quality_scores": q_quality_scores,
     "langid_confusion": q_langid_confusion,
     "embedding_topk": q_embedding_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "image_dedup_verdicts": q_image_dedup_verdicts,
 }
@@ -1113,6 +1148,12 @@ SELECT lang, count(*) AS n_docs,
   round(avg(len(list_distinct(string_split_regex(trim(text), '\\s+')))), 6) AS avg_distinct_tokens
 FROM documents GROUP BY lang
 """,
+    "token_stats_bpe": f"""
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}'))) AS BIGINT) AS total_bpe_tokens,
+  round(avg(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}'))), 6) AS avg_bpe_tokens
+FROM documents GROUP BY lang
+""",
     "quality_scores": """
 WITH t AS (
   SELECT doc_id,
@@ -1164,5 +1205,12 @@ def _neardup_oracle() -> str:
     return cosine_neardup_oracle_sql(dim=EMB_DIM, threshold=NEARDUP_COS_T)
 
 
+def _ivf_oracle() -> str:
+    from .operators.ann import ann_ivf_oracle_sql
+
+    return ann_ivf_oracle_sql()
+
+
 ORACLES["ann_topk_lsh"] = _ann_oracle()
+ORACLES["ann_topk_ivf"] = _ivf_oracle()
 ORACLES["embedding_neardup_pairs"] = _neardup_oracle()

@@ -228,6 +228,117 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
 """
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _dotq(a, b):
+    """Exact integer dot product of two quantized arrays (Column)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def ann_topk_ivf(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
+                 nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-flat approximate top-k: (query_id, neighbor_id, rank, cos).
+
+    Inverted-file structure without a training loop: the first ``nlist``
+    vectors act as coarse centroids (deterministic — no kmeans iterations to
+    reproduce cross-engine); every vector is assigned to its best centroid
+    by EXACT integer quantized dot / centroid norm, queries probe their
+    ``nprobe`` best centroids, and exact cosine ranks the candidates. The
+    candidate join is an equi-join on centroid id — O(n + n·nprobe/nlist)
+    per query instead of O(n·q). All Column algebra (one broadcast cross
+    join against nlist rows); assignment determinism comes from integer
+    dots + IEEE double division, identical in DuckDB.
+    """
+    eq = emb.select(
+        id_col,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        F.transform(vec_col, lambda x:
+                    F.round(x.cast("double") * ANN_QUANT).cast("long")).alias("vq"),
+    )
+    cent = eq.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("cid"), F.col("vq").alias("cq"))
+    scored = eq.crossJoin(F.broadcast(cent)).select(
+        id_col, "v", "cid",
+        (_dotq(F.col("vq"), F.col("cq")).cast("double")
+         / F.sqrt(_dotq(F.col("cq"), F.col("cq")).cast("double"))).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked.filter(F.col("crank") == 1).select(id_col, "v", "cid")
+    qprobe = (
+        ranked.filter((F.col(id_col) < n_queries) & (F.col("crank") <= nprobe))
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    cands = F.broadcast(qprobe).join(
+        assign.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), "cid"),
+        "cid",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    dot = F.aggregate(F.zip_with("qv", "nv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    out = cands.select(
+        "query_id", "neighbor_id",
+        (dot / (norm(F.col("qv")) * norm(F.col("nv")))).alias("cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                F.col("neighbor_id").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+def ann_ivf_oracle_sql(k: int = 5, n_queries: int = 20,
+                       nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE) -> str:
+    """DuckDB twin of ann_topk_ivf — centroids are data-derived in-SQL, so
+    nothing is generated from the corpus at SQL-build time."""
+    return f"""
+WITH eq AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * {ANN_QUANT}) AS BIGINT)) AS vq
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, vq AS cq FROM eq WHERE vec_id < {nlist}),
+scored AS (
+  SELECT eq.vec_id, eq.v, cent.cid,
+         CAST(list_dot_product(eq.vq, cent.cq) AS DOUBLE)
+           / sqrt(CAST(list_dot_product(cent.cq, cent.cq) AS DOUBLE)) AS score
+  FROM eq CROSS JOIN cent
+),
+ranked AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS crank
+  FROM scored
+),
+assign AS (SELECT vec_id, v, cid FROM ranked WHERE crank = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, cid
+  FROM ranked WHERE vec_id < {n_queries} AND crank <= {nprobe}
+),
+cands AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(q.qv, a.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+  FROM qprobe q JOIN assign a USING (cid)
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM cands
+) WHERE rank <= {k}
+"""
+
+
 def ann_lsh_oracle_sql(dim: int, k: int = 5, n_queries: int = 20,
                        n_planes: int = ANN_PLANES, probe_radius: int = 1,
                        bucket_cap: int = ANN_BUCKET_CAP,

@@ -50,6 +50,23 @@ def test_ann_16_planes_recall(spark):
             assert r["cos"] > 0.999
 
 
+def test_ann_ivf_recall(spark):
+    """IVF-flat: a query's planted near-identical copies share its centroid
+    assignment, so recall@copies stays high at nlist=16, nprobe=4."""
+    from deduplicator_spark.operators.ann import ann_topk_ivf
+
+    emb, copy_of = _clustered_embeddings(spark)
+    out = ann_topk_ivf(emb, dim=32, k=4, n_queries=20,
+                       nlist=16, nprobe=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    truth = {b: {v for v, bb in copy_of.items() if bb == b} for b in range(20)}
+    hits = sum(len(set(by_q.get(q, [])) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.95, f"recall {hits}/{total}"
+
+
 def test_cosine_neardup_pairs_recall(spark):
     """The embedding near-dup self-join finds every planted near-identical
     pair (cos >= 0.99) at 16 planes + radius-2 multiprobe, and emits no

@@ -70,6 +70,49 @@ def test_streaming_exact_dedup_keeps_first_per_digest(spark, tmp_path):
     assert set(digests) == {r["digest"] for r in probe.collect()}  # none lost
 
 
+def test_stateful_dup_stats_matches_batch(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-digest running dup stats
+    across micro-batches converge to the batch groupBy answer, with the
+    deterministic first-capture rule (earliest ts, record_id tie-break)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import streaming_dup_stats
+
+    probe, _ = _probe_and_index(spark)
+    src = str(tmp_path / "stateful_src")
+    probe.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = read_capture_stream(spark, src, schema, max_files_per_trigger=2)
+    q = (
+        streaming_dup_stats(stream)
+        .writeStream.format("memory").queryName("dupstats_out")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # update mode re-emits running totals; the final state per digest is the
+    # row with the max n_seen
+    got = {
+        r["digest"]: (r["n_seen"], r["first_record_id"])
+        for r in spark.table("dupstats_out")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("digest").orderBy(F.col("n_seen").desc())))
+        .filter("rn = 1").collect()
+    }
+    want = {
+        r["digest"]: (r["n"], r["first"])
+        for r in spark.read.parquet(src)
+        .groupBy("digest")
+        .agg(F.count("*").alias("n"),
+             F.min(F.struct("ts", "record_id")).alias("m"))
+        .select("digest", "n", F.col("m.record_id").alias("first")).collect()
+    }
+    assert got == want
+    assert any(n > 1 for n, _ in got.values())  # real dups exercised
+
+
 def test_verdict_rollup_stream(spark, tmp_path):
     from deduplicator_spark.streaming.probe import (
         probe_stream,
