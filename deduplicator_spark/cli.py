@@ -20,6 +20,13 @@ Subcommands:
     run     end-to-end dedup: tiers -> verify -> cluster -> verdicts(+metrics)
             (--checkpoint-dir makes it resumable; --resume reuses committed
             stages from a previous, possibly killed, run)
+    index   the reference's IndexingLauncher analog: read captures from any
+            registered source (crawl_log / warc / parquet), run the composed
+            §3.1 build (gates -> revisit projection -> canonicalize ->
+            last-wins upsert), write index + counters
+    probe   the reference's crawl-time path as a batch job: captures vs a
+            prebuilt index under one of the four strategies; writes verdicts
+            with crawl.log annotations
 """
 
 from __future__ import annotations
@@ -86,6 +93,47 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    from .plans.index_build import build_index, normalize_captures
+    from .sources.registry import read_source
+
+    spark = _spark(args)
+    captures = normalize_captures(read_source(spark, args.source, args.input))
+    res = build_index(captures, mime_filter=args.mime_filter,
+                      blacklist=not args.whitelist,
+                      index_url=not args.digest_only)
+    res.index.write.mode("overwrite").parquet(f"{args.output}/index")
+    res.counters.write.mode("overwrite").parquet(f"{args.output}/counters")
+    c = spark.read.parquet(f"{args.output}/counters").first()
+    for k in ("handled", "indexed", "skipped_status", "skipped_mime",
+              "unresolved", "quarantined_url", "index_rows"):
+        print(f"  {k:16s} {c[k]}")
+    return 0
+
+
+def cmd_probe(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .plans.index_build import normalize_captures
+    from .plans.probe import probe_captures
+    from .sources.registry import read_source
+
+    spark = _spark(args)
+    captures = normalize_captures(
+        read_source(spark, args.source, args.captures)
+    ).withColumn("probe_id", F.xxhash64("url", "digest", "record_id"))
+    index = spark.read.parquet(args.index)
+    verdicts = probe_captures(captures, index, strategy=args.strategy)
+    verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+    stats = (
+        spark.read.parquet(f"{args.output}/verdicts")
+        .groupBy("verdict", "dup_class").count().collect()
+    )
+    for r in sorted(stats, key=lambda r: (r["verdict"], str(r["dup_class"]))):
+        print(f"  {r['verdict']:10s} {str(r['dup_class']):14s} {r['count']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicator-spark")
     p.add_argument("--cores", type=int, default=None,
@@ -110,6 +158,29 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--no-verify", action="store_true", help="skip pixel PSNR verification")
     pr.add_argument("--run-id", default="run")
     pr.set_defaults(fn=cmd_run)
+
+    pi = sub.add_parser("index", help="build a dedup index from a capture source")
+    pi.add_argument("--source", default="crawl_log",
+                    choices=["crawl_log", "warc", "parquet"])
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--mime-filter", default=r"^text/.*")
+    pi.add_argument("--whitelist", action="store_true",
+                    help="treat --mime-filter as a whitelist (default: blacklist)")
+    pi.add_argument("--digest-only", action="store_true",
+                    help="upsert key = digest alone (A6) instead of (url, digest)")
+    pi.set_defaults(fn=cmd_index)
+
+    pb = sub.add_parser("probe", help="probe captures against a prebuilt index")
+    pb.add_argument("--source", default="parquet",
+                    choices=["crawl_log", "warc", "parquet"])
+    pb.add_argument("--captures", required=True)
+    pb.add_argument("--index", required=True, help="path written by the index subcommand")
+    pb.add_argument("--strategy", default="DIGEST_ANY",
+                    choices=["URL_EXACT", "URL_CANONICAL", "DIGEST_ANY",
+                             "DIGEST_URL_PREFERRED"])
+    pb.add_argument("--output", required=True)
+    pb.set_defaults(fn=cmd_probe)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -41,6 +41,54 @@ from ..operators.strategies import last_wins_upsert
 
 DEFAULT_MIME_FILTER = r"^text/.*"
 
+_CAPTURE_COLS = ("url", "digest", "ts", "record_id", "mime", "status",
+                 "revisit", "original_url", "original_ts")
+
+
+def normalize_captures(df: DataFrame) -> DataFrame:
+    """Adapt any registered source's output (sources/warc.py,
+    sources/crawl_log.py, a parquet captures table) to the capture schema
+    build_index/probe_captures expect. String timestamps (WARC w3c dates)
+    parse leniently; a missing record_id gets a deterministic synthetic one
+    (the crawl.log format carries none); missing optional columns become
+    nulls."""
+    cols = set(df.columns)
+    ts = F.col("ts")
+    if dict(df.dtypes).get("ts") == "string":
+        ts = F.coalesce(F.try_to_timestamp(F.col("ts")),
+                        F.try_to_timestamp(F.col("ts"),
+                                           F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+    record_id = (F.col("record_id") if "record_id" in cols
+                 else F.conv(F.hex(F.xxhash64("url", "digest", "ts")), 16, 16))
+    orig_ts_src = ("original_ts" if "original_ts" in cols
+                   else "original_ts_str" if "original_ts_str" in cols else None)
+    if orig_ts_src is None:
+        orig_ts = F.lit(None).cast("timestamp")
+    elif dict(df.dtypes).get(orig_ts_src) == "string":
+        orig_ts = F.coalesce(
+            F.try_to_timestamp(F.col(orig_ts_src)),
+            F.try_to_timestamp(F.col(orig_ts_src),
+                               F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+    else:
+        orig_ts = F.col(orig_ts_src)
+    return df.select(
+        "url",
+        "digest",
+        ts.alias("ts"),
+        record_id.alias("record_id"),
+        F.coalesce(
+            *( [F.col("mime")] if "mime" in cols else [] ),
+            *( [F.col("mime_or_unknown")] if "mime_or_unknown" in cols else [] ),
+            F.lit("unknown"),
+        ).alias("mime"),
+        F.col("status").cast("int").alias("status"),
+        (F.coalesce(F.col("revisit"), F.lit(False)) if "revisit" in cols
+         else F.lit(False)).alias("revisit"),
+        (F.col("original_url") if "original_url" in cols
+         else F.lit(None).cast("string")).alias("original_url"),
+        orig_ts.alias("original_ts"),
+    )
+
 
 @dataclass
 class IndexBuildResult:
