@@ -52,6 +52,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events is one small parquet file -> one input split; the capture
+    queries hang a regex-heavy derivation (URL render + canonicalization
+    chain) off it, so spread it across the cluster up front. At real scale
+    the source splits naturally — small-file testdata artifact."""
+    return load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # captures: reference CrawlDataItem analog derived deterministically from
 # `events` (FIXTURES.md §2). The same derivation exists in SQL (_CAPTURES_SQL)
@@ -149,7 +158,7 @@ def _verdict_out(df: DataFrame) -> DataFrame:
 
 def _strategy_query(strategy: str) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        probe, index = _probe_index(load(spark, sf_dir, "events"))
+        probe, index = _probe_index(load_events(spark, sf_dir))
         return _verdict_out(classify_verdicts(lookup(probe, index, strategy)))
 
     q.__name__ = f"strategy_{strategy.lower()}"
@@ -229,7 +238,7 @@ def q_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 — AggressiveUrlCanonicalizer analog (IndexBuilder.java:57,194-199;
     DeDuplicator.java:120,158) as a pure regexp_replace chain; the oracle
     renders the IDENTICAL chain from the same rule table."""
-    e = load(spark, sf_dir, "events")
+    e = load_events(spark, sf_dir)
     return e.select(
         F.col("event_id").alias("probe_id"),
         _dirty_url_col().alias("url"),
@@ -666,7 +675,7 @@ def q_events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lastwins_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 last-wins upsert: latest capture per (url, digest)."""
-    c = captures_from_events(load(spark, sf_dir, "events")).filter(F.col("status") == 200)
+    c = captures_from_events(load_events(spark, sf_dir)).filter(F.col("status") == 200)
     idx = last_wins_upsert(
         c.limit(0).select("url", "digest", "ts", "record_id"),
         c.select("url", "digest", "ts", "record_id"),
@@ -688,9 +697,7 @@ def q_crawl_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the events table is one small file -> one input split; spread the
     # render+parse regex work across the cluster up front (at real scale log
     # files split naturally — small-file testdata artifact)
-    events = load(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism)
-    c = captures_from_events(events)
+    c = captures_from_events(load_events(spark, sf_dir))
     is_rev = F.col("probe_id") % 5 == 0
     line = F.concat_ws(
         " ",
@@ -792,7 +799,7 @@ def q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-wins upsert, as ONE declarative job. Oracle replays every gate."""
     from .plans.index_build import build_index
 
-    res = build_index(_index_captures(load(spark, sf_dir, "events")))
+    res = build_index(_index_captures(load_events(spark, sf_dir)))
     return res.index.select(
         "url", "url_canon", "digest", "digest_stripped",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
@@ -807,7 +814,7 @@ def q_index_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantined_url baked into the gate-ordered classification."""
     from .plans.index_build import build_index
 
-    res = build_index(_index_captures(load(spark, sf_dir, "events")))
+    res = build_index(_index_captures(load_events(spark, sf_dir)))
     return res.counters
 
 
@@ -815,7 +822,7 @@ def q_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — the reference's end-of-crawl report (DeDuplicator.java:208-253):
     per-class duplicate counts, novel derived as handled − Σclasses
     (:223-225), and the duplicate percentage (:249-253)."""
-    probe, index = _probe_index(load(spark, sf_dir, "events"))
+    probe, index = _probe_index(load_events(spark, sf_dir))
     v = classify_verdicts(lookup(probe, index, "DIGEST_ANY"))
     agg = v.agg(
         F.count("*").alias("handled"),
@@ -838,7 +845,7 @@ def q_crawl_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-flagged as a revisit and must be gated out (F6)."""
     from .plans.probe import probe_captures
 
-    c = captures_from_events(load(spark, sf_dir, "events"))
+    c = captures_from_events(load_events(spark, sf_dir))
     probe = (
         c.filter(F.col("is_probe")).drop("is_probe")
         .withColumn("revisit", F.col("probe_id") % 7 == 0)
@@ -859,7 +866,7 @@ def q_crawl_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dup_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3: per-class duplicate counts + byte totals over DIGEST_ANY verdicts."""
-    probe, index = _probe_index(load(spark, sf_dir, "events"))
+    probe, index = _probe_index(load_events(spark, sf_dir))
     v = classify_verdicts(lookup(probe, index, "DIGEST_ANY"))
     return (
         v.groupBy("verdict", "dup_class")
@@ -870,7 +877,7 @@ def q_dup_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_novel_by_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10/J5 analog: definite-miss short-circuit as a left_anti join (the
     set-oriented Bloom gate; Spark's runtime bloom pruning applies here)."""
-    probe, index = _probe_index(load(spark, sf_dir, "events"))
+    probe, index = _probe_index(load_events(spark, sf_dir))
     novel = probe.join(index.select("digest").distinct(), "digest", "left_anti")
     return novel.groupBy("mime").agg(F.count("*").alias("n_novel"))
 
