@@ -35,6 +35,13 @@ class DedupConfig:
     containment_threshold: float = 0.9    # |A ∩ B| / |A| for short-in-long
     containment_min_long_tokens: int = 120
     containment_max_short_tokens: int = 64
+    containment_posting_cap: int = 4096   # per-hash cap on the long side's
+                                          # inverted posting list: a
+                                          # boilerplate shingle hash shared
+                                          # by millions of long docs would
+                                          # otherwise make the probe join
+                                          # quadratic (smallest ids kept —
+                                          # deterministic)
 
     # --- verification (generalized ref P9 digest sanity check,
     #     DeDuplicator.java:169-172; PSNR bound from BASELINE.json) ---

@@ -47,6 +47,19 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
         F.col("image_id").alias("id_l"),
         F.explode("sh_hashes").alias("hash"),
     )
+    # cap each hash's posting list (smallest ids win, deterministic): one
+    # boilerplate shingle shared by millions of long docs must not make the
+    # probe join quadratic. A capped hash can only lose candidates whose
+    # OTHER 3 probe hashes are also capped-hot — boilerplate-on-boilerplate,
+    # which the LSH tier already covers.
+    from pyspark.sql.window import Window
+
+    wh = Window.partitionBy("hash").orderBy(F.col("id_l").asc())
+    target = (
+        target.withColumn("_pn", F.row_number().over(wh))
+        .filter(F.col("_pn") <= cfg.containment_posting_cap)
+        .drop("_pn")
+    )
     cands = probe.join(target, "hash").select("id_s", "id_l").distinct()
 
     a = short.select(F.col("image_id").alias("id_s"), F.col("sh_hashes").alias("sh_s"))
