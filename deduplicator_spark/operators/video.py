@@ -1,0 +1,82 @@
+"""Video near-duplicate detection: frame-sampled perceptual matching.
+
+Composes the multimodal plumbing (operators/media.sample_video_frames) into
+a real dedup tier: sample every Nth frame, band each frame's 64-bit pHash
+exactly like the image tier (pigeonhole recall-1 for Hamming <= 3), match
+frames across videos via the (band, key) equi-join, then score a video PAIR
+by the fraction of its sampled frames that found a near-identical partner.
+Everything after the decode UDF is Column algebra; the frame join is
+equi-join shaped (never all-pairs across videos).
+
+Scale notes: frames explode the corpus by ~frames/every_n per video, but
+the join key space (band, 16-bit key) keeps candidates to colliding frames
+only; a black/intro frame shared by millions of videos is a hot key —
+bounded by the same per-key posting cap strategy as the containment tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import DEFAULT, DedupConfig
+from ..functions.hashing import hamming64, phash_band_keys
+
+
+def video_frame_phashes(videos: DataFrame, every_n: int = 2,
+                        id_col: str = "video_id") -> DataFrame:
+    """(video_id, frame_idx, frame_phash) via the Arrow frame-sample UDF."""
+    from .media import sample_video_frames
+
+    return sample_video_frames(videos, every_n, id_col).select(
+        id_col, "frame_idx", "frame_phash")
+
+
+def near_video_pairs(videos: DataFrame, cfg: DedupConfig = DEFAULT,
+                     every_n: int = 2, min_shared_frac: float = 0.5,
+                     posting_cap: int = 4096,
+                     id_col: str = "video_id") -> DataFrame:
+    """(id_a, id_b, tier='near_video', score=shared-frame fraction).
+
+    A pair qualifies when >= min_shared_frac of the sparser video's sampled
+    frames have a partner frame within Hamming <= cfg.phash_max_hamming.
+    """
+    frames = video_frame_phashes(videos, every_n, id_col).persist()
+    n_frames = frames.groupBy(id_col).agg(F.count("*").alias("nf"))
+
+    banded = frames.select(
+        id_col, "frame_idx", "frame_phash",
+        F.explode(phash_band_keys(F.col("frame_phash"), cfg)).alias("bk"),
+    ).select(id_col, "frame_idx", "frame_phash",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # hot-key cap (black frames / intro cards shared across huge numbers of
+    # videos): deterministic smallest-(video, frame) kept per (band, key)
+    wk = Window.partitionBy("band", "key").orderBy(F.col(id_col).asc(),
+                                                   F.col("frame_idx").asc())
+    banded = (banded.withColumn("_pn", F.row_number().over(wk))
+              .filter(F.col("_pn") <= posting_cap).drop("_pn"))
+
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("frame_idx").alias("fa"),
+                      F.col("frame_phash").alias("pa"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("frame_idx").alias("fb"),
+                      F.col("frame_phash").alias("pb"), "band", "key")
+    frame_matches = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("pa"), F.col("pb")) <= cfg.phash_max_hamming)
+        .select("id_a", "id_b", "fa")
+        .distinct()  # one hit per (pair, source frame): score counts FRAMES
+    )
+    scored = (
+        frame_matches.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .join(n_frames.select(F.col(id_col).alias("id_a"), F.col("nf").alias("nf_a")), "id_a")
+        .join(n_frames.select(F.col(id_col).alias("id_b"), F.col("nf").alias("nf_b")), "id_b")
+        .withColumn("score", F.col("n_shared") / F.least("nf_a", "nf_b"))
+        .filter(F.col("score") >= min_shared_frac)
+    )
+    # frames stays persisted until the caller's action evaluates `out`
+    # (tiny: 3 scalars per sampled frame); Spark LRU-evicts it afterwards
+    return scored.select("id_a", "id_b", F.lit("near_video").alias("tier"),
+                         F.col("score").cast("double").alias("score"))

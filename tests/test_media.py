@@ -59,6 +59,40 @@ def test_video_frame_sampling(spark):
         assert psnr(got, want) == float("inf")  # lossless round trip
 
 
+def test_near_video_pairs(spark):
+    """Composed video near-dup: sampled-frame pHash matching finds the
+    re-encoded/noised copy and rejects the unrelated video."""
+    from deduplicator_spark.codecs import encode_video
+    from deduplicator_spark.operators.video import near_video_pairs
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    # smooth frames (low-res field upsampled) so pHashes are non-degenerate
+    def frame():
+        low = rng.integers(0, 256, (8, 8, 3)).astype(np.float64)
+        return np.repeat(np.repeat(low, 6, axis=0), 8, axis=1).astype(np.uint8)
+
+    base = [frame() for _ in range(8)]
+    # near-copy: same frames with +-1 salt-and-pepper noise (phash within 3)
+    noisy = []
+    for f in base:
+        mask = rng.random(f.shape) < 0.05
+        delta = (rng.integers(0, 2, f.shape).astype(np.int16) * 2 - 1) * mask
+        noisy.append(np.clip(f.astype(np.int16) + delta, 0, 255).astype(np.uint8))
+    other = [frame() for _ in range(8)]
+
+    vids = spark.createDataFrame(
+        [("vid-a", bytearray(encode_video(base))),
+         ("vid-b", bytearray(encode_video(noisy))),
+         ("vid-c", bytearray(encode_video(other)))],
+        "video_id string, bytes binary",
+    )
+    pairs = near_video_pairs(vids, every_n=2, min_shared_frac=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["score"] for r in pairs}
+    assert ("vid-a", "vid-b") in got
+    assert got[("vid-a", "vid-b")] >= 0.5
+    assert all({a, b} == {"vid-a", "vid-b"} for a, b in got)  # no c pairs
+
+
 def test_real_container_decode_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_video_frames(b"\x00\x00\x00\x20ftypisom....", 1)
