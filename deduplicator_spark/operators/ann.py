@@ -103,8 +103,11 @@ def ann_topk_lsh(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
     """
     base = emb.select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
 
+    # query set = the n_queries SMALLEST ids (no contiguous-id assumption;
+    # TakeOrderedAndProject + broadcast semi-join, pushed below the UDF)
+    qids = base.orderBy(F.col(id_col).asc()).limit(n_queries).select(id_col)
     queries = (
-        with_lsh_bucket(base.filter(F.col(id_col) < n_queries), dim,
+        with_lsh_bucket(base.join(F.broadcast(qids), id_col, "left_semi"), dim,
                         vec_col="v", n_planes=n_planes, seed=seed)
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
                 F.explode(multiprobe_buckets(F.col("bucket"), n_planes,
@@ -152,33 +155,44 @@ def cosine_neardup_pairs(emb: DataFrame, dim: int, threshold: float = 0.95,
     radius (planted-truth pytest pins >= 0.95 for near-identical vectors);
     determinism is the same integer-plane contract as ann_topk_lsh, so the
     generated DuckDB oracle is bit-identical.
+
+    The build side is capped per bucket (mega-bucket guard) but the PROBE
+    side is the UNCAPPED signature frame: a member beyond the cap in its
+    home bucket still probes the survivors, so no vector is exempted from
+    dedup — the ANN analog of the LSH tier's "star edges never drop
+    members" rule.
     """
     base = emb.select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
-    sig = with_lsh_bucket(base, dim, vec_col="v", n_planes=n_planes, seed=seed)
+    sig = with_lsh_bucket(base, dim, vec_col="v", n_planes=n_planes, seed=seed).persist()
     wb = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
     capped = (
         sig.withColumn("_bn", F.row_number().over(wb))
         .filter(F.col("_bn") <= bucket_cap)
         .drop("_bn")
-        .persist()
     )
-    probes = capped.select(
+    probes = sig.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"),
         F.explode(multiprobe_buckets(F.col("bucket"), n_planes,
                                      probe_radius)).alias("bucket"))
     cands = (
         probes.join(capped.select(F.col(id_col).alias("id_b"),
                                   F.col("v").alias("vb"), "bucket"), "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
     )
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda a, x: a + x)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    # canonicalize AFTER the join (not id_a < id_b in it): a capped-out
+    # member has a LARGER id than every survivor of its bucket, so ordering
+    # inside the join would drop exactly the pairs the uncapped probe side
+    # exists to preserve. cos is exactly symmetric (same zip order), so the
+    # two directions of a survivor-survivor pair collapse under distinct.
     return (
-        cands.select("id_a", "id_b",
+        cands.select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b"),
                      (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"))
-        .distinct()  # pairs can collide in several probed buckets
+        .distinct()  # pairs can collide in several probed buckets + both directions
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
@@ -215,14 +229,14 @@ capped AS (
 ),
 probes AS (
   SELECT vec_id AS id_a, v AS va, xor(bucket, CAST(m AS BIGINT)) AS bucket
-  FROM capped CROSS JOIN (SELECT unnest([{masks}]) AS m) t
+  FROM sig CROSS JOIN (SELECT unnest([{masks}]) AS m) t
 ),
 pairs AS (
-  SELECT DISTINCT p.id_a, s.vec_id AS id_b,
+  SELECT DISTINCT least(p.id_a, s.vec_id) AS id_a, greatest(p.id_a, s.vec_id) AS id_b,
          list_dot_product(p.va, s.v)
            / (sqrt(list_dot_product(p.va, p.va)) * sqrt(list_dot_product(s.v, s.v))) AS cos
   FROM probes p JOIN capped s USING (bucket)
-  WHERE p.id_a < s.vec_id
+  WHERE p.id_a <> s.vec_id
 )
 SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
 """
@@ -243,15 +257,19 @@ def ann_topk_ivf(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF-flat approximate top-k: (query_id, neighbor_id, rank, cos).
 
-    Inverted-file structure without a training loop: the first ``nlist``
-    vectors act as coarse centroids (deterministic — no kmeans iterations to
-    reproduce cross-engine); every vector is assigned to its best centroid
-    by EXACT integer quantized dot / centroid norm, queries probe their
-    ``nprobe`` best centroids, and exact cosine ranks the candidates. The
-    candidate join is an equi-join on centroid id — O(n + n·nprobe/nlist)
-    per query instead of O(n·q). All Column algebra (one broadcast cross
-    join against nlist rows); assignment determinism comes from integer
-    dots + IEEE double division, identical in DuckDB.
+    Inverted-file structure without a training loop: the ``nlist`` vectors
+    with the SMALLEST ids act as coarse centroids (deterministic — no kmeans
+    iterations to reproduce cross-engine, and no assumption that ids are
+    contiguous or zero-based: a sparse id space yields the same well-defined
+    centroid set); every vector is assigned to its best centroid by EXACT
+    integer quantized dot / centroid norm, queries (the ``n_queries``
+    smallest ids) probe their ``nprobe`` best centroids, and exact cosine
+    ranks the candidates. The candidate join is an equi-join on centroid
+    id — O(n + n·nprobe/nlist) per query instead of O(n·q). All Column
+    algebra (one broadcast cross join against nlist rows; centroid/query
+    selection is TakeOrderedAndProject — no full sort); assignment
+    determinism comes from integer dots + IEEE double division, identical
+    in DuckDB.
     """
     eq = emb.select(
         id_col,
@@ -259,7 +277,7 @@ def ann_topk_ivf(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
         F.transform(vec_col, lambda x:
                     F.round(x.cast("double") * ANN_QUANT).cast("long")).alias("vq"),
     )
-    cent = eq.filter(F.col(id_col) < nlist).select(
+    cent = eq.orderBy(F.col(id_col).asc()).limit(nlist).select(
         F.col(id_col).alias("cid"), F.col("vq").alias("cq"))
     scored = eq.crossJoin(F.broadcast(cent)).select(
         id_col, "v", "cid",
@@ -269,8 +287,10 @@ def ann_topk_ivf(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cid").asc())
     ranked = scored.withColumn("crank", F.row_number().over(w))
     assign = ranked.filter(F.col("crank") == 1).select(id_col, "v", "cid")
+    qids = eq.orderBy(F.col(id_col).asc()).limit(n_queries).select(id_col)
     qprobe = (
-        ranked.filter((F.col(id_col) < n_queries) & (F.col("crank") <= nprobe))
+        ranked.join(F.broadcast(qids), id_col, "left_semi")
+        .filter(F.col("crank") <= nprobe)
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cid")
     )
     cands = F.broadcast(qprobe).join(
@@ -306,7 +326,7 @@ WITH eq AS (
          list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * {ANN_QUANT}) AS BIGINT)) AS vq
   FROM embeddings
 ),
-cent AS (SELECT vec_id AS cid, vq AS cq FROM eq WHERE vec_id < {nlist}),
+cent AS (SELECT vec_id AS cid, vq AS cq FROM eq ORDER BY vec_id ASC LIMIT {nlist}),
 scored AS (
   SELECT eq.vec_id, eq.v, cent.cid,
          CAST(list_dot_product(eq.vq, cent.cq) AS DOUBLE)
@@ -321,7 +341,9 @@ ranked AS (
 assign AS (SELECT vec_id, v, cid FROM ranked WHERE crank = 1),
 qprobe AS (
   SELECT vec_id AS query_id, v AS qv, cid
-  FROM ranked WHERE vec_id < {n_queries} AND crank <= {nprobe}
+  FROM ranked
+  WHERE vec_id IN (SELECT vec_id FROM eq ORDER BY vec_id ASC LIMIT {n_queries})
+    AND crank <= {nprobe}
 ),
 cands AS (
   SELECT q.query_id, a.vec_id AS neighbor_id,
@@ -375,7 +397,7 @@ corpus AS (
 probes AS (
   SELECT vec_id AS query_id, v AS qv, xor(bucket, CAST(m AS BIGINT)) AS bucket
   FROM sig CROSS JOIN (SELECT unnest([{masks}]) AS m) t
-  WHERE vec_id < {n_queries}
+  WHERE vec_id IN (SELECT vec_id FROM eq ORDER BY vec_id ASC LIMIT {n_queries})
 ),
 scored AS (
   SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,

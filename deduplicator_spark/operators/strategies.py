@@ -172,9 +172,13 @@ def lookup_with_bloom_gate(probe: DataFrame, index: DataFrame,
         obs, F.count(F.lit(1)).alias("bloom_short_circuited")
     )
     matched_hits = STRATEGIES[strategy](hits, index, probe_id)
-    null_idx = [F.lit(None).cast(t).alias(c) for c, t in
-                [(f"idx_{k}", "timestamp" if k == "ts" else "string")
-                 for k in _IDX_COLS if f"idx_{k}" in matched_hits.columns]]
+    # null literals for the miss side take their types from the hit side's
+    # actual schema — an index with non-string etag/record_id (or a custom
+    # idx_ column type) unions cleanly instead of failing at plan time
+    probe_cols = set(misses.columns)
+    null_idx = [F.lit(None).cast(f.dataType).alias(f.name)
+                for f in matched_hits.schema.fields
+                if f.name not in probe_cols]
     matched_misses = misses.select("*", *null_idx)
     return matched_hits.unionByName(matched_misses), obs
 

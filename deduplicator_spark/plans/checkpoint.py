@@ -41,13 +41,31 @@ def config_fingerprint(cfg: DedupConfig) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def input_identity(images: DataFrame, id_col: str = "image_id") -> str:
-    """Cheap content identity of the input: (row count, order-invariant id
-    checksum) from one column-pruned agg job — the parquet stand-in for an
-    Iceberg source snapshot id pinned into stage metadata."""
+_CONTENT_COLS = ("digest", "phash", "caption")  # cheap content-bearing cols
+
+
+def input_identity(images: DataFrame, id_col: str = "image_id",
+                   content_col: str | None = None) -> str:
+    """Cheap content identity of the input: (row count, order-invariant
+    checksum over id + a content-bearing column) from one column-pruned agg
+    job — the parquet stand-in for an Iceberg source snapshot id pinned into
+    stage metadata.
+
+    The checksum folds in ``content_col`` (default: the first of
+    digest/phash/caption present) so a regenerated corpus with the same ids but
+    different payloads/captions invalidates checkpoints, honoring the
+    'changed input invalidates checkpoints' contract. Deliberately NOT the
+    raw bytes column — hashing 100 TB of payloads to decide cache validity
+    would cost more than the pipeline; phash/digest are payload-derived."""
+    if content_col is None:
+        content_col = next((c for c in _CONTENT_COLS if c in images.columns), None)
+    cols = [F.col(id_col).cast("string")]
+    if content_col is not None:
+        cols.append(F.col(content_col).cast("string"))
     row = images.agg(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64(id_col).cast("decimal(38,0)")).alias("s"),
+        F.sum(F.xxhash64(F.concat_ws("\x1f", *cols))
+              .cast("decimal(38,0)")).alias("s"),
     ).first()
     return f"{row['n']}:{row['s']}"
 
