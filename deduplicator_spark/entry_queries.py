@@ -598,6 +598,124 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, EMB_DIM, threshold=NEARDUP_COS_T)
 
 
+# --------------------------------------------------------------------------
+# perceptual-hash tiers with cross-engine oracles: a deterministic md5-derived
+# 64-bit "phash" table is synthesized from documents IDENTICALLY in both
+# engines (the captures-from-events pattern), with planted Hamming-1/-3
+# near-dups and Hamming-5 negative controls. This gives the flagship banded
+# pHash machinery (image tier) and the frame-sampled video tier the same
+# cross-engine proof the caption LSH tier has: banded join + verify == the
+# exact Hamming self-join (pigeonhole recall-1, functions/hashing.py).
+# --------------------------------------------------------------------------
+
+def _synth_ops(dialect: str) -> dict:
+    """Dialect shims for the synthetic-phash arithmetic — ONE derivation
+    rendered for both engines so the plant logic can never drift:
+    60-bit md5 hash, xor, 1<<k, integer division."""
+    if dialect == "spark":
+        return {
+            "H": lambda e: (f"CAST(conv(substring(md5(CAST({e} AS STRING)),"
+                            " 1, 15), 16, 10) AS BIGINT)"),
+            "XOR": lambda a, b: f"({a} ^ {b})",
+            "SHL1": lambda k: f"shiftleft(CAST(1 AS BIGINT), CAST({k} AS INT))",
+            "DIV": lambda a, b: f"({a} DIV {b})",
+        }
+    return {
+        "H": lambda e: (f"CAST('0x' || substr(md5(CAST({e} AS STRING)),"
+                        " 1, 15) AS BIGINT)"),
+        "XOR": lambda a, b: f"xor({a}, {b})",
+        "SHL1": lambda k: f"(CAST(1 AS BIGINT) << CAST({k} AS INT))",
+        "DIV": lambda a, b: f"({a} // {b})",
+    }
+
+
+def synth_phash_sql(dialect: str, x: str = "doc_id") -> str:
+    """64-bit phash with planted near-dups per decade anchor a = x - x%10:
+    x%10==1 -> Hamming 1 from a, x%10==2 -> Hamming 3, x%10==3 -> Hamming 5
+    (negative control: past the phash_max_hamming=3 verify bound), else an
+    independent 60-bit md5 value."""
+    o = _synth_ops(dialect)
+    anchor = o["H"](f"({x} - ({x} % 10))")
+    flip1 = o["XOR"](anchor, o["SHL1"](f"({x} % 13)"))
+    f3 = anchor
+    for off in (0, 13, 26):
+        f3 = o["XOR"](f3, o["SHL1"](f"({off} + ({x} % 11))"))
+    f5 = anchor
+    for off in (0, 12, 24, 36, 48):
+        f5 = o["XOR"](f5, o["SHL1"](f"({off} + ({x} % 9))"))
+    return (f"CASE WHEN ({x} % 10) = 1 THEN {flip1}"
+            f" WHEN ({x} % 10) = 2 THEN {f3}"
+            f" WHEN ({x} % 10) = 3 THEN {f5}"
+            f" ELSE {o['H'](x)} END")
+
+
+def synth_frame_phash_sql(dialect: str, x: str = "doc_id") -> str:
+    """Frame phashes for synthetic videos: video_id = x DIV 20 (20 frames
+    each), frame base hash shared between partner videos 2v / 2v+1
+    (group = x DIV 40). The odd partner re-encodes with noise: 4 of every 5
+    frames drift Hamming 1 (within the <=3 verify bound), the 5th drifts
+    Hamming 5 (no frame match) -> expected pair score 0.8."""
+    o = _synth_ops(dialect)
+    grp = o["DIV"](x, "40")
+    fidx = f"({x} % 20)"
+    base = o["H"](f"'vf:' || CAST({grp} AS STRING) || ':' || CAST({fidx} AS STRING)")
+    flip1 = o["XOR"](base, o["SHL1"](f"({x} % 13)"))
+    f5 = base
+    for off in (0, 12, 24, 36, 48):
+        f5 = o["XOR"](f5, o["SHL1"](f"({off} + ({x} % 9))"))
+    odd = f"((({o['DIV'](x, '20')}) % 2) = 1)"
+    return (f"CASE WHEN {odd} AND ({fidx} % 5) < 4 THEN {flip1}"
+            f" WHEN {odd} THEN {f5}"
+            f" ELSE {base} END")
+
+
+def q_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image tier's cross-engine proof: operators/simhash.near_image_pairs
+    (banded 64-bit pHash equi-join, salted buckets, JVM bit_count(xor)
+    verify — generalizing the reference's digest equality,
+    LuceneIndexSearcher.java:274-276 / DeDuplicator.java:169-172) over the
+    synthetic phash table == the exact O(n^2) Hamming<=3 self-join (oracle).
+    4x16-bit bands are recall-1 for Hamming<=3 by pigeonhole, and planted
+    buckets stay far below the star-fallback cap at driver scale, so the
+    operator output EQUALS the exact join — any divergence in banding,
+    salting, capping, or verify shows up as a hash mismatch."""
+    from .operators.simhash import near_image_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.expr(synth_phash_sql("spark", "doc_id")).alias("phash"),
+    )
+    pairs = near_image_pairs(imgs, DEFAULT)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("score").cast("long").alias("hamming"),
+    )
+
+
+def q_near_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video tier's cross-engine proof: operators/video.
+    near_video_pairs_from_frames (banded frame equi-join + per-side distinct
+    matched-frame scoring) over synthetic frame phashes == the exact frame
+    Hamming self-join with identical scoring (oracle). Odd partner videos
+    re-encode 16/20 frames within Hamming 1 -> score 0.8 >= the 0.5 gate."""
+    from .operators.video import near_video_pairs_from_frames
+
+    docs = load(spark, sf_dir, "documents")
+    frames = docs.select(
+        F.format_string("%012d", F.expr("doc_id DIV 20")).alias("video_id"),
+        (F.col("doc_id") % 20).cast("int").alias("frame_idx"),
+        F.expr(synth_frame_phash_sql("spark", "doc_id")).alias("frame_phash"),
+    )
+    pairs = near_video_pairs_from_frames(frames, DEFAULT, min_shared_frac=0.5)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     return (
@@ -915,6 +1033,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "phash_neardup_pairs": q_phash_neardup_pairs,
+    "near_video_pairs": q_near_video_pairs,
     "image_dedup_verdicts": q_image_dedup_verdicts,
 }
 
@@ -1217,6 +1337,43 @@ def _ivf_oracle() -> str:
 
     return ann_ivf_oracle_sql()
 
+
+ORACLES["phash_neardup_pairs"] = f"""
+WITH ph AS (
+  SELECT doc_id, {synth_phash_sql('duckdb', 'doc_id')} AS phash FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {DEFAULT.phash_max_hamming}
+"""
+
+ORACLES["near_video_pairs"] = f"""
+WITH fr AS (
+  SELECT (doc_id // 20) AS video_id, (doc_id % 20) AS frame_idx,
+         {synth_frame_phash_sql('duckdb', 'doc_id')} AS fp
+  FROM documents
+),
+nf AS (SELECT video_id, count(*) AS nf FROM fr GROUP BY video_id),
+fm AS (
+  SELECT DISTINCT a.video_id AS id_a, b.video_id AS id_b,
+         a.frame_idx AS fa, b.frame_idx AS fb
+  FROM fr a JOIN fr b ON a.video_id < b.video_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= {DEFAULT.phash_max_hamming}
+),
+sc AS (
+  SELECT id_a, id_b, count(DISTINCT fa) AS n_a, count(DISTINCT fb) AS n_b
+  FROM fm GROUP BY id_a, id_b
+),
+scored AS (
+  SELECT sc.id_a, sc.id_b,
+         CASE WHEN na.nf <= nb.nf THEN CAST(sc.n_a AS DOUBLE) / na.nf
+              ELSE CAST(sc.n_b AS DOUBLE) / nb.nf END AS score
+  FROM sc JOIN nf na ON na.video_id = sc.id_a
+          JOIN nf nb ON nb.video_id = sc.id_b
+)
+SELECT id_a, id_b, round(score, 6) AS score FROM scored WHERE score >= 0.5
+"""
 
 ORACLES["ann_topk_lsh"] = _ann_oracle()
 ORACLES["ann_topk_ivf"] = _ivf_oracle()
