@@ -16,7 +16,11 @@ with three scale guards (SURVEY.md §7.4 hard part #1):
     df.checkpoint() to HDFS / an Iceberg snapshot — see plans/checkpoint.py);
   * dedup graphs are star-shaped (tiers emit star edges around bucket
     minima), so they converge in 1-2 propagation rounds: the common case is
-    exactly two driver actions total.
+    exactly two driver actions total;
+  * from the second batch on (i.e. only when the star-shaped fast path did
+    NOT converge), each round adds a pointer-doubling shortcut
+    label(v) <- label(label(v)), bounding high-diameter graphs (chains of
+    drifting near-dups) at O(log n) rounds instead of O(diameter).
 
 Determinism: labels are min(image_id) of the component — reproducing the
 reference's deterministic winner rule (scan-order last-wins,
@@ -44,6 +48,24 @@ def _propagate(edges: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
         labels.unionByName(nbr_min)
         .groupBy(id_col)
         .agg(F.min("label").alias("label"))
+    )
+
+
+def _shortcut(labels: DataFrame, id_col: str) -> DataFrame:
+    """Pointer doubling: label(v) <- label(label(v)).
+
+    Every label value is itself a node id present in ``labels`` (labels are
+    mins over node ids), so the self-join always hits; coalesce guards the
+    degenerate empty frame. least() keeps monotonicity explicit even though
+    label(u) <= u already implies it.
+    """
+    lab = labels.select(F.col(id_col).alias("_lk"), F.col("label").alias("_l2"))
+    return (
+        labels.join(lab, labels["label"] == lab["_lk"], "left")
+        .select(
+            F.col(id_col),
+            F.least(F.col("label"), F.coalesce("_l2", "label")).alias("label"),
+        )
     )
 
 
@@ -89,7 +111,16 @@ def connected_components(
     labels = labels.localCheckpoint(eager=False)
     while it < cfg.cc_max_iters:
         for _ in range(min(batch, cfg.cc_max_iters - it)):
-            labels = _propagate(edges, labels, id_col).localCheckpoint(eager=False)
+            labels = _propagate(edges, labels, id_col)
+            if it >= batch:
+                # Pointer doubling from the second batch on: star-shaped
+                # dedup graphs have already converged by then (no extra
+                # shuffle in the common case), while high-diameter graphs
+                # (chains of drifting near-dups A~B~C~...) get O(log n)
+                # rounds instead of O(diameter) — each round the reach of
+                # a label at least doubles, vs +1 for propagation alone.
+                labels = _shortcut(labels, id_col)
+            labels = labels.localCheckpoint(eager=False)
             it += 1
         # order-invariant checksum of the assignment; labels only ever
         # decrease, so (count, sum) unchanged across a batch <=> fixed point

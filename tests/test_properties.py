@@ -88,6 +88,24 @@ def test_connected_components_matches_union_find(spark, data):
     assert got == _uf_clusters(n, edges)
 
 
+def test_chain_graph_converges_in_log_rounds(spark):
+    """A 1,000-node path with the min id at the far end is the worst case
+    for pure min-label propagation (labels travel one hop per round ->
+    O(diameter) rounds). The pointer-doubling shortcut bounds it at
+    O(log n): cc_max_iters=14 would raise without it."""
+    from deduplicator_spark.config import DedupConfig
+    from deduplicator_spark.operators.components import connected_components
+
+    n = 1000
+    ids = [f"c{n - i:04d}" for i in range(n)]  # ids decrease along the path
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "id_a string, id_b string")
+    cfg = DedupConfig(cc_max_iters=14, checkpoint_every=1)
+    out = connected_components(pairs, cfg=cfg).collect()
+    assert len(out) == n
+    assert {r["cluster_id"] for r in out} == {"c0001"}
+
+
 # --- MinHash signature accuracy (pure numpy — no Spark) ----------------------
 
 @settings(max_examples=40, deadline=None)
