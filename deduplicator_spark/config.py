@@ -42,6 +42,11 @@ class DedupConfig:
                                           # otherwise make the probe join
                                           # quadratic (smallest ids kept —
                                           # deterministic)
+    containment_verbatim: bool = False    # additionally require the short
+                                          # caption to appear VERBATIM (as a
+                                          # contiguous token sequence) in the
+                                          # long one — shingle-set containment
+                                          # alone admits scattered fragments
 
     # --- verification (generalized ref P9 digest sanity check,
     #     DeDuplicator.java:169-172; PSNR bound from BASELINE.json) ---

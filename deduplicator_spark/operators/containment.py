@@ -24,7 +24,8 @@ from .candidates import canonical_pairs
 
 
 def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
-                      prepared: DataFrame | None = None) -> DataFrame:
+                      prepared: DataFrame | None = None,
+                      verbatim: bool | None = None) -> DataFrame:
     """(id_a, id_b, tier='containment', score=|A∩B|/|A|) with short ⊆-ish long.
 
     id_a/id_b keep canonical order; the *short* side is the contained one.
@@ -32,7 +33,13 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
     SORTED, so the 4 smallest hashes — a deterministic sample any superset
     must also contain: if A ⊆ B then min_p(h(A)) ⊆ h(B) — are a plain
     slice(1..4)). Pass a persisted ``prepared`` to share the caption scan
-    with tier 2."""
+    with tier 2.
+
+    ``verbatim`` (default ``cfg.containment_verbatim``) additionally runs
+    verify_substring_pairs on the shingle-verified pairs: the short caption
+    must appear as a contiguous token sequence in the long one (space-padded
+    so token boundaries can't false-match), rejecting scattered-fragment
+    containment. Runs only on verified candidates — tiny relative to n."""
     from .minhash import prepared_features
 
     sh = prepared if prepared is not None else prepared_features(images, cfg)
@@ -70,6 +77,32 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
         .withColumn("containment", inter / F.greatest(F.size("sh_s"), F.lit(1)))
         .filter(F.col("containment") >= cfg.containment_threshold)
     )
+    if verbatim is None:
+        verbatim = cfg.containment_verbatim
+    if verbatim:
+        # whitespace-normalized + space-padded: str.find then means "the
+        # short side's token sequence appears contiguously in the long one",
+        # matching the .split() tokenization the shingles were built from
+        norm = lambda c: F.concat(F.lit(" "),
+                                  F.concat_ws(" ", F.split(F.trim(c), r"\s+")),
+                                  F.lit(" "))
+        caps = images.select("image_id", norm(F.col("caption")).alias("_t"))
+        texted = (
+            verified.select("id_s", "id_l")
+            .join(caps.select(F.col("image_id").alias("id_s"),
+                              F.col("_t").alias("text_short")), "id_s")
+            .join(caps.select(F.col("image_id").alias("id_l"),
+                              F.col("_t").alias("text_long")), "id_l")
+        )
+        ok = (
+            verify_substring_pairs(
+                texted.select(F.col("id_s").alias("id_a"),
+                              F.col("id_l").alias("id_b"),
+                              "text_short", "text_long"))
+            .filter(F.col("is_substring"))
+            .select(F.col("id_a").alias("id_s"), F.col("id_b").alias("id_l"))
+        )
+        verified = verified.join(ok, ["id_s", "id_l"], "left_semi")
     return (
         canonical_pairs(verified.select(F.col("id_s").alias("id_a"), F.col("id_l").alias("id_b")))
         .join(

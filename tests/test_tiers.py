@@ -87,6 +87,30 @@ def test_containment_finds_planted_embeddings(spark, images_500):
     assert pairs.filter("score < 0.9").count() == 0
 
 
+def test_containment_verbatim_rejects_scattered_fragments(spark):
+    """Shingle-set containment (k=3) is satisfiable by SCATTERED fragments:
+    a long caption holding overlapping segments 's1..s4' and 's3..s6' covers
+    every shingle of the short caption 's1..s6' without ever containing it
+    contiguously. verbatim=True must reject that pair and keep a genuinely
+    embedded one."""
+    short = " ".join(f"s{i}" for i in range(1, 7))
+    filler = lambda a, b: " ".join(f"f{i}" for i in range(a, b))
+    long_scattered = " ".join([
+        filler(0, 60), "s1 s2 s3 s4", filler(60, 120), "s3 s4 s5 s6",
+        filler(120, 130),
+    ])
+    long_embedded = " ".join([filler(200, 260), short, filler(260, 330)])
+    df = spark.createDataFrame(
+        [("sh", short), ("sc", long_scattered), ("em", long_embedded)],
+        "image_id string, caption string",
+    )
+    loose = {(r["id_a"], r["id_b"]) for r in containment_pairs(df).collect()}
+    assert ("sc", "sh") in loose and ("em", "sh") in loose
+    strict = {(r["id_a"], r["id_b"])
+              for r in containment_pairs(df, verbatim=True).collect()}
+    assert strict == {("em", "sh")}
+
+
 def test_substring_verifier(spark):
     df = spark.createDataFrame(
         [("a", "b", "x y z", "w x y z q"), ("c", "d", "nope", "w x y z")],
