@@ -209,8 +209,16 @@ _DIRTY_URL_SQL = """
   || CASE WHEN event_id % 11 = 0 THEN ';JSESSIONID=Z' || CAST(event_id AS VARCHAR) ELSE '' END
   || CASE WHEN event_id % 4 = 0 THEN '?a=1&SID=' || CAST(event_id AS VARCHAR) || '&b=2'
           WHEN event_id % 4 = 1 THEN '?PHPSESSID=' || CAST(event_id AS VARCHAR)
+          WHEN event_id % 4 = 2 THEN '?z=' || CAST(event_id % 9 AS VARCHAR) || '&a=2&m=3'
           ELSE '' END
   || CASE WHEN event_id % 6 = 0 THEN '#Sec' ELSE '' END
+"""
+
+_DIRTY_IP_URL_SQL = """
+  'http://' || CASE WHEN event_id % 2 = 0
+                    THEN '0x' || lpad(lower(to_hex(2130706433 + event_id % 99)), 8, '0')
+                    ELSE CAST(2130706433 + event_id % 99 AS VARCHAR) END
+  || ':80/R' || CAST(event_id % 5 AS VARCHAR) || '?q=2&p=1'
 """
 
 
@@ -229,8 +237,22 @@ def _dirty_url_col() -> F.Column:
         F.when(e % 11 == 0, F.concat(F.lit(";JSESSIONID=Z"), s)).otherwise(F.lit("")),
         F.when(e % 4 == 0, F.concat(F.lit("?a=1&SID="), s, F.lit("&b=2")))
         .when(e % 4 == 1, F.concat(F.lit("?PHPSESSID="), s))
+        .when(e % 4 == 2, F.concat(F.lit("?z="), (e % 9).cast("string"), F.lit("&a=2&m=3")))
         .otherwise(F.lit("")),
         F.when(e % 6 == 0, F.lit("#Sec")).otherwise(F.lit("")),
+    )
+
+
+def _dirty_ip_url_col() -> F.Column:
+    """Decimal / 0x-hex IPv4 hosts with an unsorted query — exercises the
+    host-normalization and query-sort canonicalizer rules in the oracle."""
+    e = F.col("event_id")
+    n_ip = (F.lit(2130706433) + (e % 99)).cast("bigint")
+    hexhost = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(n_ip)), 8, "0"))
+    return F.concat(
+        F.lit("http://"),
+        F.when(e % 2 == 0, hexhost).otherwise(n_ip.cast("string")),
+        F.lit(":80/R"), (e % 5).cast("string"), F.lit("?q=2&p=1"),
     )
 
 
@@ -239,10 +261,11 @@ def q_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     DeDuplicator.java:120,158) as a pure regexp_replace chain; the oracle
     renders the IDENTICAL chain from the same rule table."""
     e = load_events(spark, sf_dir)
+    url = F.when(F.col("event_id") % 13 == 0, _dirty_ip_url_col()).otherwise(_dirty_url_col())
     return e.select(
         F.col("event_id").alias("probe_id"),
-        _dirty_url_col().alias("url"),
-        canonicalize_url(_dirty_url_col()).alias("url_canon"),
+        url.alias("url"),
+        canonicalize_url(url).alias("url_canon"),
     )
 
 
@@ -1106,10 +1129,13 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
 FROM events GROUP BY 1, 2
 """,
     "canonicalize_urls": f"""
-SELECT event_id AS probe_id,
-  {_DIRTY_URL_SQL} AS url,
-  {canonicalize_sql(f"({_DIRTY_URL_SQL})")} AS url_canon
-FROM events
+WITH u AS (
+  SELECT event_id,
+    CASE WHEN event_id % 13 = 0 THEN ({_DIRTY_IP_URL_SQL})
+         ELSE ({_DIRTY_URL_SQL}) END AS url
+  FROM events
+)
+SELECT event_id AS probe_id, url, {canonicalize_sql("url")} AS url_canon FROM u
 """,
     "strategy_url_exact": _strategy_oracle("p.url = i.url AND p.digest = i.digest"),
     "strategy_url_canonical": _strategy_oracle("p.url_canon = i.url_canon AND p.digest = i.digest"),

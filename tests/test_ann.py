@@ -6,6 +6,7 @@ deterministically."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -30,14 +31,16 @@ def _clustered_embeddings(spark, n_bases=20, copies=4, dim=32, seed=11):
     return df, copy_of
 
 
-def test_ann_16_planes_recall(spark):
-    """At 16 planes + radius-2 multiprobe, every query's planted copies are
-    found and ranked by cosine — recall@copies >= 0.95 over planted truth."""
+@pytest.mark.parametrize("n_planes", [16, 24])
+def test_ann_planes_recall(spark, n_planes):
+    """At 16 AND 24 planes + radius-2 multiprobe, every query's planted
+    copies are found and ranked by cosine — recall@copies >= 0.95 over
+    planted truth (the 100x-scale knob band; curve in BENCH/ANN_RECALL.md)."""
     from deduplicator_spark.operators.ann import ann_topk_lsh
 
     emb, copy_of = _clustered_embeddings(spark)
     out = ann_topk_lsh(emb, dim=32, k=4, n_queries=20,
-                       n_planes=16, probe_radius=2).collect()
+                       n_planes=n_planes, probe_radius=2).collect()
     by_q = {}
     for r in out:
         by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])

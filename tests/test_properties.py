@@ -15,7 +15,12 @@ from deduplicator_spark.functions.urlcanon import canonicalize_url
 
 # main label starts non-w: the canonicalizer strips ONE leading www label
 # (reference semantics), so a host literally named www.www.is is out of scope
-_hosts = st.from_regex(r"(www[0-9]?\.)?[a-v][a-z]{0,7}\.(is|com|org)", fullmatch=True)
+_hosts = st.one_of(
+    st.from_regex(r"(www[0-9]?\.)?[a-v][a-z]{0,7}\.(is|com|org)", fullmatch=True),
+    # decimal / 0x-hex IPv4 hosts (incl. values past 2^32, left untouched)
+    st.integers(0, 2**33).map(str),
+    st.integers(0, 2**32 - 1).map(lambda n: f"0x{n:x}"),
+)
 _paths = st.from_regex(r"(/[A-Za-z0-9]{0,6}){0,3}/?", fullmatch=True)
 _querys = st.from_regex(
     r"(\?([a-z]{1,4}=[0-9]{1,3}|sid=[0-9]{1,4}|PHPSESSID=[A-F0-9]{1,6})"
