@@ -411,6 +411,136 @@ FROM documents LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = do
 """
 
 
+# --------------------------------------------------------------------------
+# containment tier (tier 3) cross-engine proof — planted-structure pattern.
+# The documents are 10-100 tokens (all below the 120-token long gate), so the
+# table is augmented IDENTICALLY in both engines:
+#   * long items (group+10M): concatenation of each 4-doc group's texts in
+#     doc_id order (~220 tokens) — every natural short doc (<=64 tokens) is
+#     verbatim-contained in its group's long with containment 1.0;
+#   * scattered shorts (doc_id+20M): 20-token prefixes of two ADJACENT docs
+#     in the same group, stitched — their fragment shingles are all in the
+#     group long (containment ~36/38 >= 0.9 passes the set gate) but the
+#     stitched token sequence is NOT contiguous there (both donors have
+#     >= 25 tokens), so ONLY the verbatim substring verifier rejects them.
+# Any drift in the min-hash probe join, posting caps, shingle hashing, or
+# the mapInPandas suffix search vs the oracle's strpos is a hash mismatch.
+# Candidate completeness in this regime: the probe explodes the short side's
+# 4 smallest shingle hashes; a pair is missed only if ALL 4 smallest are
+# absent from the long — impossible for natural shorts (subset) and for
+# scattered plants (only the <=2 junction shingles can be absent).
+# --------------------------------------------------------------------------
+
+CONT_T = DEFAULT.containment_threshold
+CONT_SHORT_MAX = DEFAULT.containment_max_short_tokens
+CONT_LONG_MIN = DEFAULT.containment_min_long_tokens
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-3 short-in-long containment (operators/containment.py: min-hash
+    probe equi-join + exact shingle-set containment, then the verbatim
+    substring verifier via partition-local suffix search) over the
+    planted-structure documents table == the exact short x long containment
+    join with the identical two-stage gate (oracle). Output: every set-gate
+    pair with its containment score plus is_verbatim (1 iff the short's
+    token sequence appears contiguously in the long) — the scattered plants
+    MUST surface with is_verbatim=0 on both engines. Generalizes the
+    reference's digest-equality sanity check (DeDuplicator.java:169-172) to
+    partial content reuse."""
+    from .operators.containment import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    longs = (
+        base.groupBy(F.expr("doc_id DIV 4").alias("g"))
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "t"))),
+            lambda s: s["t"])).alias("t"))
+        .select((F.col("g") + 10_000_000).alias("item_id"), "t")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    scat = (
+        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+               & (F.expr("a.doc_id DIV 4") == F.expr("b.doc_id DIV 4")))
+        .filter((F.col("a.doc_id") % 8 == 1)
+                & (F.size("a.t") >= 25) & (F.size("b.t") >= 25))
+        .select((F.col("a.doc_id") + 20_000_000).alias("item_id"),
+                F.concat(F.slice("a.t", 1, 20), F.slice("b.t", 1, 20)).alias("t"))
+    )
+    aug = base.select(F.col("doc_id").alias("item_id"), "t").unionAll(longs).unionAll(scat)
+    items = aug.select(
+        F.format_string("%012d", "item_id").alias("image_id"),
+        F.concat_ws(" ", "t").alias("caption"),
+    )
+    from .operators.minhash import prepared_features
+
+    prep = prepared_features(items).persist()
+    allp = containment_pairs(items, prepared=prep, verbatim=False)
+    vb = containment_pairs(items, prepared=prep, verbatim=True)
+    return (
+        allp.join(vb.select("id_a", "id_b", F.lit(1).alias("is_verbatim")),
+                  ["id_a", "id_b"], "left")
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("score", 6).alias("containment"),
+            F.coalesce("is_verbatim", F.lit(0)).cast("int").alias("is_verbatim"),
+        )
+    )
+
+
+_CONTAINMENT_PAIRS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+longs AS (
+  SELECT (doc_id // 4) + 10000000 AS item_id,
+         flatten(list(t ORDER BY doc_id)) AS t
+  FROM base GROUP BY doc_id // 4
+),
+scat AS (
+  SELECT a.doc_id + 20000000 AS item_id,
+         list_concat(list_slice(a.t, 1, 20), list_slice(b.t, 1, 20)) AS t
+  FROM base a JOIN base b
+    ON b.doc_id = a.doc_id + 1 AND (a.doc_id // 4) = (b.doc_id // 4)
+  WHERE a.doc_id % 8 = 1 AND len(a.t) >= 25 AND len(b.t) >= 25
+),
+aug AS (
+  SELECT doc_id AS item_id, t FROM base
+  UNION ALL SELECT item_id, t FROM longs
+  UNION ALL SELECT item_id, t FROM scat
+),
+s AS (
+  SELECT item_id, len(t) AS n_tok,
+    list_distinct(CASE WHEN len(t) >= {SHINGLE_K}
+      THEN list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [array_to_string(t, ' ')] END) AS sh,
+    ' ' || array_to_string(t, ' ') || ' ' AS norm
+  FROM aug
+),
+short AS (SELECT * FROM s WHERE n_tok <= {CONT_SHORT_MAX}),
+lng AS (SELECT * FROM s WHERE n_tok >= {CONT_LONG_MIN}),
+es AS (SELECT item_id, unnest(sh) AS shingle FROM short),
+el AS (SELECT item_id, unnest(sh) AS shingle FROM lng),
+p AS (
+  SELECT es.item_id AS id_s, el.item_id AS id_l, count(*) AS inter
+  FROM es JOIN el USING (shingle) GROUP BY 1, 2
+),
+c AS (
+  SELECT p.id_s, p.id_l, p.inter * 1.0 / len(sh.sh) AS containment
+  FROM p JOIN short sh ON sh.item_id = p.id_s
+  WHERE p.inter * 1.0 / len(sh.sh) >= {CONT_T}
+)
+SELECT least(id_s, id_l) AS id_a, greatest(id_s, id_l) AS id_b,
+       round(containment, 6) AS containment,
+       CAST(strpos(ll.norm, ss.norm) > 0 AS INTEGER) AS is_verbatim
+FROM c
+JOIN short ss ON ss.item_id = c.id_s
+JOIN lng ll ON ll.item_id = c.id_l
+"""
+
+
 def q_exact_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier-0 exact dedup table: digest + per-digest group size and
     representative (ref DIGEST_ANY + last-wins, IndexBuilder.java:227-236)."""
@@ -1046,6 +1176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_digest_documents": q_exact_digest_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "containment_pairs": q_containment_pairs,
     "dedup_clusters": q_dedup_clusters,
     "doc_fingerprint": q_doc_fingerprint,
     "token_stats": q_token_stats,
@@ -1288,6 +1419,7 @@ FROM documents
 """,
     "ngram_jaccard_pairs": _JACCARD_PAIRS_CAPPED_SQL,
     "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+    "containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "doc_fingerprint": f"""
 WITH s AS ({_SHINGLES_SQL})

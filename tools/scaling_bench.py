@@ -59,6 +59,9 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 320000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    # secondary-pair runs write elsewhere so the primary evidence doc (with
+    # its hand-written interpretation sections) is never clobbered
+    out_md = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/BENCH/BASELINE.md"
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
@@ -114,7 +117,7 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+    with open(out_md, "w") as f:
         f.write(f"""# Scaling evidence — N vs 4N parallelism (sandbox stand-in)
 
 North rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
