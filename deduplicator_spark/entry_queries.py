@@ -475,17 +475,12 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.minhash import prepared_features
 
     prep = prepared_features(items).persist()
-    allp = containment_pairs(items, prepared=prep, verbatim=False)
-    vb = containment_pairs(items, prepared=prep, verbatim=True)
-    return (
-        allp.join(vb.select("id_a", "id_b", F.lit(1).alias("is_verbatim")),
-                  ["id_a", "id_b"], "left")
-        .select(
-            F.col("id_a").cast("long").alias("id_a"),
-            F.col("id_b").cast("long").alias("id_b"),
-            F.round("score", 6).alias("containment"),
-            F.coalesce("is_verbatim", F.lit(0)).cast("int").alias("is_verbatim"),
-        )
+    pairs = containment_pairs(items, prepared=prep, verbatim=False, flag_verbatim=True)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("score", 6).alias("containment"),
+        F.col("is_verbatim").cast("int").alias("is_verbatim"),
     )
 
 

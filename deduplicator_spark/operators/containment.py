@@ -25,7 +25,8 @@ from .candidates import canonical_pairs
 
 def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
                       prepared: DataFrame | None = None,
-                      verbatim: bool | None = None) -> DataFrame:
+                      verbatim: bool | None = None,
+                      flag_verbatim: bool = False) -> DataFrame:
     """(id_a, id_b, tier='containment', score=|A∩B|/|A|) with short ⊆-ish long.
 
     id_a/id_b keep canonical order; the *short* side is the contained one.
@@ -39,7 +40,11 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
     verify_substring_pairs on the shingle-verified pairs: the short caption
     must appear as a contiguous token sequence in the long one (space-padded
     so token boundaries can't false-match), rejecting scattered-fragment
-    containment. Runs only on verified candidates — tiny relative to n."""
+    containment. Runs only on verified candidates — tiny relative to n.
+
+    ``flag_verbatim`` keeps ALL set-gate pairs and adds an ``is_verbatim``
+    boolean column instead of filtering (one pass over the tier; combine
+    with ``verbatim=False`` to let the caller decide per pair)."""
     from .minhash import prepared_features
 
     sh = prepared if prepared is not None else prepared_features(images, cfg)
@@ -79,7 +84,7 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
     )
     if verbatim is None:
         verbatim = cfg.containment_verbatim
-    if verbatim:
+    if verbatim or flag_verbatim:
         # whitespace-normalized + space-padded: str.find then means "the
         # short side's token sequence appears contiguously in the long one",
         # matching the .split() tokenization the shingles were built from
@@ -94,27 +99,30 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
             .join(caps.select(F.col("image_id").alias("id_l"),
                               F.col("_t").alias("text_long")), "id_l")
         )
-        ok = (
-            verify_substring_pairs(
-                texted.select(F.col("id_s").alias("id_a"),
-                              F.col("id_l").alias("id_b"),
-                              "text_short", "text_long"))
-            .filter(F.col("is_substring"))
-            .select(F.col("id_a").alias("id_s"), F.col("id_b").alias("id_l"))
-        )
-        verified = verified.join(ok, ["id_s", "id_l"], "left_semi")
+        checked = verify_substring_pairs(
+            texted.select(F.col("id_s").alias("id_a"),
+                          F.col("id_l").alias("id_b"),
+                          "text_short", "text_long")
+        ).select(F.col("id_a").alias("id_s"), F.col("id_b").alias("id_l"),
+                 F.col("is_substring"))
+        # every verified pair has both captions, so this join is lossless
+        verified = verified.join(checked, ["id_s", "id_l"])
+        if verbatim:
+            verified = verified.filter(F.col("is_substring"))
+    carry = ["is_substring"] if flag_verbatim else []
+    out_cols = [F.col("is_substring").alias("is_verbatim")] if flag_verbatim else []
     return (
         canonical_pairs(verified.select(F.col("id_s").alias("id_a"), F.col("id_l").alias("id_b")))
         .join(
             verified.select(
                 F.least("id_s", "id_l").alias("id_a"),
                 F.greatest("id_s", "id_l").alias("id_b"),
-                "containment",
+                "containment", *carry,
             ),
             ["id_a", "id_b"],
         )
         .select("id_a", "id_b", F.lit("containment").alias("tier"),
-                F.col("containment").alias("score"))
+                F.col("containment").alias("score"), *out_cols)
     )
 
 
