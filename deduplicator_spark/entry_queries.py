@@ -474,7 +474,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.minhash import prepared_features
 
-    prep = prepared_features(items).persist()
+    items = items.persist()  # reused by the probe/verify sides AND the
+    # verbatim caption joins; captions only, never payload bytes
+    prep = prepared_features(items, with_signatures=False).persist()
     pairs = containment_pairs(items, prepared=prep, verbatim=False, flag_verbatim=True)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),

@@ -194,7 +194,8 @@ def minhash_signatures_pandas(images: DataFrame, cfg: DedupConfig = DEFAULT) -> 
     )
 
 
-def prepared_features(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def prepared_features(images: DataFrame, cfg: DedupConfig = DEFAULT,
+                      with_signatures: bool = True) -> DataFrame:
     """One Arrow pass computing every caption-derived feature the caption
     tiers need: (image_id, n_tok, sh_hashes sorted array<long>, band_keys
     array<long>[lsh_bands]).
@@ -204,7 +205,12 @@ def prepared_features(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFram
     computed exactly once per caption (instead of once per join side per
     tier), and |A ∩ B| / |A ∪ B| on 64-bit hashed sets equals the string-set
     Jaccard up to ~2^-64 collision probability. Persist this in pipelines and
-    share it across tiers 2 and 3."""
+    share it across tiers 2 and 3.
+
+    ``with_signatures=False`` skips the MinHash permutation minima and band
+    keys (the dominant per-caption cost) and emits empty ``band_keys`` —
+    for callers that need only the shingle-hash sets (e.g. a standalone
+    containment tier); the schema is unchanged so the frame stays drop-in."""
     a, b = _perm_coeffs(cfg)
     k = cfg.shingle_k
 
@@ -213,8 +219,11 @@ def prepared_features(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFram
             if len(pdf) == 0:
                 continue
             base, offsets, ntok = _batch_shingle_hashes(pdf["caption"], k)
-            sig = _signatures_from_hashes(base, offsets, cfg, a, b)
-            keys = _band_keys(sig, cfg)
+            if with_signatures:
+                sig = _signatures_from_hashes(base, offsets, cfg, a, b)
+                band_keys = list(_band_keys(sig, cfg))
+            else:
+                band_keys = [[]] * len(pdf)
             signed = base.view(np.int64)
             yield pd.DataFrame({
                 "image_id": pdf["image_id"],
@@ -223,7 +232,7 @@ def prepared_features(images: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFram
                     np.sort(signed[offsets[i]:offsets[i + 1]]).tolist()
                     for i in range(len(pdf))
                 ],
-                "band_keys": list(keys),
+                "band_keys": band_keys,
             })
 
     return images.select("image_id", "caption").mapInPandas(
