@@ -844,6 +844,84 @@ def q_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-SimHash near-dup: functions/hashing.simhash64 over caption
+    tokens with an engine-portable md5-derived feature hash, then the SAME
+    banded machinery as the image tier (operators/simhash.near_image_pairs:
+    4x16-bit pigeonhole bands, salted candidate buckets, bit_count(xor)
+    verify) == the exact O(n^2) Hamming<=3 self-join over identically
+    computed simhashes (generated oracle — DuckDB folds the same 60 bit
+    sums from the same md5 token hashes). Planted variants (doc_id+10M:
+    one appended token) sit a few sign-flips from their base, exercising
+    Hamming 1-3; exact text dups pair at Hamming 0.
+
+    Signatures come from the vectorized Arrow pass (simhash_features) —
+    the Column-algebra simhash64 computes the identical value (pinned by
+    test_simhash_feature_parity) but 64 interpreted aggregate() folds are
+    ~10x slower on real corpora; same trade as the MinHash path."""
+    from .operators.simhash import near_image_pairs, simhash_features
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(F.col("doc_id").alias("item_id"), "text").unionAll(
+        docs.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 10_000_000).alias("item_id"),
+            F.concat("text", F.lit(" zs"), (F.col("doc_id") % 9).cast("string")).alias("text"),
+        )
+    )
+    # documents parquet is 1-2 splits at test SFs; spread the Arrow hashing
+    # pass across all cores (tiny shuffle of raw text, same as crawl_log)
+    aug = aug.repartition(spark.sparkContext.defaultParallelism)
+    imgs = simhash_features(aug, md5_hash=True).select(
+        F.format_string("%012d", "item_id").alias("image_id"),
+        F.col("simhash").alias("phash"),
+    )
+    pairs = near_image_pairs(imgs, DEFAULT)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("score").cast("long").alias("hamming"),
+    )
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """DuckDB twin of q_simhash_neardup_pairs: identical augmented table,
+    identical md5-derived 60-bit token hashes, identical sign-sum fold, then
+    the exact Hamming<=3 self-join (recall-1 reference for the banded
+    operator by pigeonhole)."""
+    hv = "CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)"
+    bit_sums = ",\n    ".join(
+        f"sum(((hv >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(60))
+    fold = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60))
+    return f"""
+WITH aug AS (
+  SELECT doc_id AS item_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text || ' zs' || CAST(doc_id % 9 AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 1
+),
+tok AS (
+  SELECT item_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM aug
+),
+h AS (SELECT item_id, {hv} AS hv FROM tok),
+bits AS (
+  SELECT item_id,
+    {bit_sums}
+  FROM h GROUP BY item_id
+),
+sh AS (SELECT item_id, ({fold}) AS simhash FROM bits),
+s AS (
+  SELECT aug.item_id, coalesce(sh.simhash, 0) AS simhash
+  FROM aug LEFT JOIN sh ON sh.item_id = aug.item_id
+)
+SELECT a.item_id AS id_a, b.item_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.item_id < b.item_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {DEFAULT.phash_max_hamming}
+"""
+
+
 def q_near_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video tier's cross-engine proof: operators/video.
     near_video_pairs_from_frames (banded frame equi-join + per-side distinct
@@ -1185,6 +1263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "phash_neardup_pairs": q_phash_neardup_pairs,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "near_video_pairs": q_near_video_pairs,
     "image_dedup_verdicts": q_image_dedup_verdicts,
 }
@@ -1502,6 +1581,8 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ph a JOIN ph b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {DEFAULT.phash_max_hamming}
 """
+
+ORACLES["simhash_neardup_pairs"] = _simhash_pairs_oracle_sql()
 
 ORACLES["near_video_pairs"] = f"""
 WITH fr AS (

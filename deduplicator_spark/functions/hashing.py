@@ -77,18 +77,28 @@ def lsh_band_keys(sig: Column, cfg: DedupConfig = DEFAULT) -> Column:
     return F.array(*bands)
 
 
-def simhash64(toks: Column) -> Column:
+def simhash64(toks: Column, feature_hash=None) -> Column:
     """64-bit SimHash over a token/feature array, as a single long.
 
-    For each bit i: sign of sum over features of (bit_i(xxhash64(f)) ? +1 : -1).
-    Expressed as 64 aggregate() folds — all codegen."""
+    For each bit i: sign of sum over features of (bit_i(hash(f)) ? +1 : -1).
+    Expressed as 64 aggregate() folds — all codegen.
+
+    ``feature_hash`` maps a token Column to a 64-bit long Column; default
+    xxhash64 (JVM fast path). An engine-portable hash (e.g. md5-derived)
+    makes the whole operator reproducible in DuckDB for cross-engine
+    oracles — the parameterized-planes pattern of operators/ann.py."""
+    fh = feature_hash if feature_hash is not None else F.xxhash64
+    # hash each token ONCE into an array, then fold bits over the hashes —
+    # 64 folds over precomputed longs instead of 64x re-hashing every token
+    hashes = F.transform(toks, lambda t: fh(t))
+
     def bit_sum(i: int) -> Column:
-        def step(acc: Column, t: Column) -> Column:
+        def step(acc: Column, h: Column) -> Column:
             return acc + (
-                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
             ).cast("int")
 
-        return F.aggregate(toks, F.lit(0), step)
+        return F.aggregate(hashes, F.lit(0), step)
 
     out = F.lit(0).cast("long")
     for i in range(64):

@@ -52,3 +52,64 @@ def with_caption_simhash(images: DataFrame) -> DataFrame:
     north star's 'SimHash over perceptual-hash bitplanes' is phash_banded —
     this is the same operator applied to text features)."""
     return images.withColumn("caption_simhash", simhash64(tokens(F.col("caption"))))
+
+
+def simhash_features(items: DataFrame, id_col: str = "item_id",
+                     text_col: str = "text", md5_hash: bool = False) -> DataFrame:
+    """(id_col, simhash long) in ONE vectorized Arrow pass — the scale path
+    for text SimHash. The Column-algebra simhash64 expresses the same fold,
+    but Spark higher-order functions are interpreted per element (64 folds x
+    tokens), so batched numpy wins by >10x on real corpora (same trade as
+    the MinHash signature path, operators/minhash.py).
+
+    Per batch: tokenize (whitespace, matching split(trim, '\\s+') — empty
+    text collapses to [''] like both SQL dialects), hash every token once
+    (md5_hash=True: the engine-portable 60-bit md5-derived hash, exactly
+    ``CAST('0x' || substr(md5(w),1,15) AS BIGINT)`` on DuckDB, enabling
+    integer-exact cross-engine oracles; default: pd.util.hash_array, the
+    fast path), then fold sign-sums for all 64 bits with one
+    ``np.add.reduceat`` over the flat (tokens x 64) sign matrix."""
+    import hashlib
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[str] = []
+            offsets = [0]
+            for text in pdf[text_col]:
+                toks = text.strip().split() or [""]
+                flat.extend(toks)
+                offsets.append(len(flat))
+            offs = np.asarray(offsets[:-1], dtype=np.intp)
+            # hash each DISTINCT token once per batch (corpora are Zipfian —
+            # stopwords dominate), then scatter back through the codes
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            if md5_hash:
+                uh = np.fromiter(
+                    (int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in uniques),
+                    dtype=np.uint64, count=len(uniques))
+            else:
+                uh = pd.util.hash_array(np.asarray(uniques, dtype=object)).astype(np.uint64)
+            h = uh[codes]
+            # sign-sum per bit == 2*popcount - n_tokens; keep the bit matrix
+            # uint8 (8x smaller than int32 signs) and widen only in reduceat
+            bits = ((h[:, None] >> shifts) & 1).astype(np.uint8)
+            ones = np.add.reduceat(bits, offs, axis=0, dtype=np.int64)
+            ntok = np.diff(np.append(offs, len(flat)))
+            sim = (((ones * 2 - ntok[:, None]) > 0).astype(np.uint64)
+                   << shifts).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "simhash": sim.view(np.int64),
+            })
+
+    return items.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {items.schema[id_col].dataType.simpleString()}, simhash long")

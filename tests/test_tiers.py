@@ -131,6 +131,43 @@ def test_shingles_and_simhash_basics(spark):
     assert isinstance(out[0]["sim"], int)
 
 
+def test_simhash_feature_parity(spark):
+    """The vectorized Arrow pass (simhash_features, md5_hash=True) must equal
+    the Column-algebra simhash64 with the same md5-derived feature hash —
+    bit-for-bit, including the whitespace/empty-text edge cases."""
+    from deduplicator_spark.operators.simhash import simhash_features
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "  leading   and trailing   spaces  "),
+        (4, ""),
+        (5, "single"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, text string")
+    md5h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    col_side = {
+        r["item_id"]: r["sim"]
+        for r in df.select(
+            "item_id", simhash64(tokens(F.col("text")), feature_hash=md5h).alias("sim")
+        ).collect()
+    }
+    arrow_side = {
+        r["item_id"]: r["simhash"]
+        for r in simhash_features(df, md5_hash=True).collect()
+    }
+    assert arrow_side == col_side
+    assert arrow_side[1] == arrow_side[6]  # identical text -> identical simhash
+    assert arrow_side[1] != arrow_side[2]
+    # default (pd.util.hash_array) path: deterministic, full 64-bit range
+    fast = {r["item_id"]: r["simhash"]
+            for r in simhash_features(df).collect()}
+    fast2 = {r["item_id"]: r["simhash"]
+             for r in simhash_features(df).collect()}
+    assert fast == fast2 and fast[1] == fast[6] and fast[1] != fast[2]
+
+
 def test_minhash_signature_identical_captions_identical_sigs(spark):
     df = spark.createDataFrame([("x", "a b c d e f g"), ("y", "a b c d e f g")], "id string, c string")
     sigs = df.select(minhash_signature(shingles(tokens(F.col("c")))).alias("s")).collect()
