@@ -66,10 +66,20 @@ def cmd_run(args) -> int:
     else:
         print("one of --input / --synth is required", file=sys.stderr)
         return 2
-    images = images.persist()
-    images.count()
-
     tiers = tuple(args.tiers.split(","))
+    if args.warmup:
+        # untimed warm-up pipeline: one-time codegen/JIT compile is a
+        # per-process constant, not per-row work — keep it out of the timing
+        warm = synthesize_images(spark, args.warmup, seed=args.seed + 1).persist()
+        warm.count()
+        run_pipeline(warm, tiers=tiers, verify_pixels=not args.no_verify) \
+            .verdicts.write.format("noop").mode("overwrite").save()
+        warm.unpersist()
+    persist = not args.no_persist_input
+    if persist:
+        images = images.persist()
+    n = images.count()
+
     t0 = time.perf_counter()
     if args.checkpoint_dir:
         if not args.resume:
@@ -80,13 +90,14 @@ def cmd_run(args) -> int:
         )
     else:
         result = run_pipeline(images, tiers=tiers, verify_pixels=not args.no_verify,
-                              run_id=args.run_id)
+                              run_id=args.run_id, persist_input=persist)
     if args.output:
         result.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
         result.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
         result.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+    else:
+        result.verdicts.write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
-    n = images.count()
     print(f"{n} images in {sec:.1f}s ({n / sec:.1f} images/sec)")
     for r in result.metrics.orderBy("stage", "metric").collect():
         print(f"  {r['stage']:12s} {r['metric']:22s} {r['value']:.0f}")
@@ -156,6 +167,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="reuse committed stages in --checkpoint-dir")
     pr.add_argument("--tiers", default="exact,near_image,near_caption,containment")
     pr.add_argument("--no-verify", action="store_true", help="skip pixel PSNR verification")
+    pr.add_argument("--warmup", type=int, default=0, metavar="N",
+                    help="run an untimed N-image synthetic pipeline first "
+                         "(keeps one-time codegen/JIT out of the timing)")
+    pr.add_argument("--no-persist-input", action="store_true",
+                    help="do not cache the input: every tier scans its pruned "
+                         "columns from storage (the 100 TB-correct shape)")
     pr.add_argument("--run-id", default="run")
     pr.set_defaults(fn=cmd_run)
 

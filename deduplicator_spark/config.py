@@ -42,6 +42,12 @@ class DedupConfig:
                                           # otherwise make the probe join
                                           # quadratic (smallest ids kept —
                                           # deterministic)
+    containment_sub_method: str = "find"  # verbatim verifier: 'find' (C-level
+                                          # two-way search per pair) or
+                                          # 'suffix_array' (SA built once per
+                                          # long caption, O(m log n) probes —
+                                          # wins under high fan-out per long
+                                          # doc); identical flags either way
     containment_verbatim: bool = False    # additionally require the short
                                           # caption to appear VERBATIM (as a
                                           # contiguous token sequence) in the

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -102,7 +103,8 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
         checked = verify_substring_pairs(
             texted.select(F.col("id_s").alias("id_a"),
                           F.col("id_l").alias("id_b"),
-                          "text_short", "text_long")
+                          "text_short", "text_long"),
+            method=cfg.containment_sub_method,
         ).select(F.col("id_a").alias("id_s"), F.col("id_b").alias("id_l"),
                  F.col("is_substring"))
         # every verified pair has both captions, so this join is lossless
@@ -126,24 +128,114 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
     )
 
 
-def verify_substring_pairs(pairs_with_text: DataFrame) -> DataFrame:
+def suffix_array(text: str) -> np.ndarray:
+    """Suffix array of ``text`` by vectorized prefix doubling — O(n log n)
+    numpy rounds, no per-character Python. Returns the int64 array of suffix
+    start offsets in lexicographic (byte-wise, UTF-8) suffix order.
+
+    This is the north star's 'suffix-array substring pass' primitive: the
+    array is built ONCE per long caption, then every short-caption probe is
+    an O(m log n) binary search (C-level slice comparisons), so a long doc
+    with f candidate shorts costs n log n + f·m log n instead of find()'s
+    f·(n+m)."""
+    data = text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    k = 1
+    while True:
+        # secondary key: rank of the suffix k bytes further in
+        # (-1 == past the end, sorts first)
+        r2 = np.full(n, -1, dtype=np.int64)
+        r2[: n - k] = rank[k:]
+        order = np.lexsort((r2, rank))
+        head, tail = rank[order], r2[order]
+        bumped = np.ones(n, dtype=np.int64)
+        bumped[0] = 0
+        bumped[1:] = (head[1:] != head[:-1]) | (tail[1:] != tail[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(bumped)
+        if new_rank[order[-1]] == n - 1:  # all ranks distinct -> done
+            return order
+        rank = new_rank
+        k *= 2
+
+
+def sa_contains(data: bytes, sa: np.ndarray, pattern: str) -> bool:
+    """Binary search ``sa`` (suffix array of ``data``) for any suffix that
+    starts with ``pattern``. Empty pattern is trivially contained."""
+    pat = pattern.encode("utf-8")
+    if not pat:
+        return True
+    lo, hi = 0, len(sa)
+    m = len(pat)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        start = sa[mid]
+        chunk = data[start : start + m]
+        if chunk == pat:
+            return True
+        if chunk < pat:
+            lo = mid + 1
+        else:
+            hi = mid
+    return False
+
+
+def verify_substring_pairs(pairs_with_text: DataFrame,
+                           method: str = "find") -> DataFrame:
     """Verbatim-substring check via partition-local suffix search.
 
     Input: (id_a, id_b, text_short, text_long); output adds is_substring.
-    Python's str.find is a C-level two-way string search — per Arrow batch,
-    no per-row Python overhead beyond the call itself. At cluster scale this
-    runs only on tier-3 verified candidates (tiny relative to n).
+
+    method='find' (default): Python's str.find, a C-level two-way string
+    search per pair — optimal when fan-out per long caption is low, which
+    the shingle gate guarantees at sandbox scale.
+
+    method='suffix_array': the north star's suffix-array pass — pairs are
+    grouped by long caption inside each Arrow batch (callers should
+    repartition by id_b first so one long doc's candidates co-locate), the
+    suffix array is built once per distinct long caption, and every short
+    probe is an O(m log n) binary search. Wins when boilerplate long docs
+    attract many candidates each (f·m log n vs find's f·n). Both methods
+    return identical flags (pinned by test_substring_methods_agree).
+
+    At cluster scale this runs only on tier-3 verified candidates (tiny
+    relative to n).
     """
+    if method not in ("find", "suffix_array"):
+        raise ValueError(f"unknown substring method: {method!r}")
+
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            found = [
-                t_long.find(t_short) >= 0
-                for t_short, t_long in zip(pdf["text_short"], pdf["text_long"])
-            ]
+            if method == "suffix_array":
+                found = np.empty(len(pdf), dtype=bool)
+                pos = {c: i for i, c in enumerate(pdf.columns)}
+                rows = pdf.itertuples(index=False)
+                by_long: dict[str, list[tuple[int, str]]] = {}
+                for i, row in enumerate(rows):
+                    by_long.setdefault(row[pos["text_long"]], []).append(
+                        (i, row[pos["text_short"]]))
+                for t_long, probes in by_long.items():
+                    data = t_long.encode("utf-8")
+                    sa = suffix_array(t_long)
+                    for i, t_short in probes:
+                        found[i] = sa_contains(data, sa, t_short)
+                found = found.tolist()
+            else:
+                found = [
+                    t_long.find(t_short) >= 0
+                    for t_short, t_long in zip(pdf["text_short"], pdf["text_long"])
+                ]
             out = pdf[["id_a", "id_b"]].copy()
             out["is_substring"] = found
             yield out
 
-    return pairs_with_text.mapInPandas(
+    pairs = pairs_with_text
+    if method == "suffix_array":
+        # co-locate each long doc's probes so its suffix array builds once
+        pairs = pairs.repartition("id_b")
+    return pairs.mapInPandas(
         check, schema="id_a string, id_b string, is_substring boolean"
     )

@@ -35,10 +35,15 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     shuffle = max(cfg.shuffle_partitions, cores)
+    b = SparkSession.builder.appName(app_name)
+    # Under spark-submit the JVM gateway already exists and --master (a real
+    # cluster, or local[N] in the sandbox evidence runs) is authoritative —
+    # forcing local[] here would silently un-cluster a submitted job. Plain
+    # `python` launches its own gateway, so local[N] applies.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle))
+        b.config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -120,6 +120,61 @@ def test_substring_verifier(spark):
     assert got == {"a": True, "c": False}
 
 
+def test_substring_methods_agree(spark):
+    """The suffix-array pass must return the same flags as str.find on
+    adversarial inputs: repeated runs (worst case for naive search), the
+    pattern at offset 0 / at the very end, a pattern that only *almost*
+    matches at many positions, shared long texts (exercises the SA cache),
+    unicode beyond ASCII, and pattern == whole text."""
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        ("aaaaab", "a" * 40 + "b"),
+        ("aaab", "a" * 40),                    # almost-matches everywhere
+        ("xy", "xy" + "z" * 30),               # offset 0
+        ("yz", "x" * 30 + "yz"),               # at the end
+        ("día", "un buen día de sol"),         # multi-byte utf-8
+        ("sol x", "un buen día de sol"),
+        ("whole", "whole"),
+        ("", "anything"),                      # empty pattern -> contained
+        ("longer than text", "short"),
+    ]
+    # randomized small-alphabet pairs: dense repeats, ~half true positives
+    for i in range(60):
+        t_long = "".join(rng.choice("ab ") for _ in range(rng.randint(1, 80)))
+        if i % 2:
+            lo = rng.randint(0, len(t_long) - 1)
+            t_short = t_long[lo: rng.randint(lo + 1, len(t_long))]
+        else:
+            t_short = "".join(rng.choice("ab ") for _ in range(rng.randint(1, 10)))
+        cases.append((t_short, t_long))
+    rows = [(f"p{i:03d}", f"L{hash(t_long) % 5}", t_short, t_long)
+            for i, (t_short, t_long) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "id_a string, id_b string, text_short string, text_long string")
+    find = {r["id_a"]: r["is_substring"]
+            for r in verify_substring_pairs(df, method="find").collect()}
+    sa = {r["id_a"]: r["is_substring"]
+          for r in verify_substring_pairs(df, method="suffix_array").collect()}
+    assert sa == find
+    truth = {f"p{i:03d}": (t_short in t_long)
+             for i, (t_short, t_long) in enumerate(cases)}
+    assert find == truth
+
+
+def test_containment_suffix_array_method_matches_find(spark, images_500):
+    from deduplicator_spark.config import DEFAULT
+    import dataclasses
+
+    cfg = dataclasses.replace(DEFAULT, containment_sub_method="suffix_array")
+    base = {(r["id_a"], r["id_b"])
+            for r in containment_pairs(images_500, verbatim=True).collect()}
+    via_sa = {(r["id_a"], r["id_b"])
+              for r in containment_pairs(images_500, cfg=cfg, verbatim=True).collect()}
+    assert via_sa == base and base
+
+
 def test_shingles_and_simhash_basics(spark):
     df = spark.createDataFrame([("a b c d", ), ("a b",)], "t string")
     out = df.select(
