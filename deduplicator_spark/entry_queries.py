@@ -697,9 +697,12 @@ def q_image_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship north-rule pipeline over the synthetic image+caption corpus
     (deterministic synth — input_hint schema): 4-tier cascade (exact sha256,
     pHash Hamming, MinHash/LSH captions, containment) -> PSNR verify -> CC
-    clustering -> per-image verdict + lineage. No SQL oracle (pixel decode /
-    perceptual hashing are not SQL-expressible); the driver records the
-    rows-only check, and tests/test_pipeline.py pins planted-truth recall."""
+    clustering -> per-image verdict + lineage. No SQL oracle for THIS query
+    (pixel decode / perceptual hashing are not SQL-expressible) — but the
+    entire post-decode graph logic it runs (candidate_edges -> priority
+    dedup -> CC -> verdict assembly) is hash-verified cross-engine by
+    pipeline_verdicts; the codec layer is pinned by planted-truth recall
+    pytests (tests/test_pipeline.py)."""
     from .plans.pipeline import run_pipeline
     from .synth import synthesize_images
 
@@ -841,6 +844,60 @@ def q_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("score").cast("long").alias("hamming"),
+    )
+
+
+def q_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine proof of the FLAGSHIP pipeline's post-decode graph logic:
+    the REAL plans/pipeline machinery (candidate_edges -> tier-priority edge
+    dedup -> connected_components -> verdicts_from_clusters, i.e. the exact
+    code image_dedup_verdicts runs) over deterministic feature tables both
+    engines can derive from `documents`:
+
+      digest = md5(text)                  -> exact tier (star edges)
+      phash  = synth_phash_sql plant      -> near_image tier (banded+verify)
+      caption = text                      -> near_caption tier (MinHash/LSH)
+
+    == a DuckDB twin that unions the three tiers' exact-form pair sets
+    (digest equi-join, O(n^2) Hamming<=3 join, exact-Jaccard join), keeps the
+    min-priority tier per pair, closes components with a recursive CTE, and
+    assembles verdict/dup_class/refers_to lineage identically. Only the codec
+    layer (pixel decode, sha256-of-bytes, PSNR) stays outside — it is pinned
+    by planted-truth pytests (tests/test_pipeline.py); everything downstream
+    of feature extraction is now hash-verified cross-engine. Reference
+    semantics: verdict+lineage of DeDuplicator.java:149-205 generalized;
+    exact-tier star edges and LSH/banded tiers equal their exact-join oracles
+    at this scale (green rows phash_neardup_pairs / minhash_lsh_pairs), so
+    composition preserves equality. Containment is omitted: raw documents
+    are all below the 120-token long gate (its green oracle row uses the
+    augmented planted-structure table)."""
+    from .operators.candidates import canonical_pairs
+    from .operators.components import connected_components
+    from .plans.pipeline import candidate_edges, verdicts_from_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.col("text").alias("caption"),
+        F.expr(synth_phash_sql("spark", "doc_id")).alias("phash"),
+    ).persist()
+    digests = docs.select(
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.md5("text").alias("digest"),
+    )
+    edges = candidate_edges(
+        imgs, DEFAULT, tiers=("exact", "near_image", "near_caption"),
+        verify_pixels=False, digests=digests,
+    ).persist()
+    clusters = connected_components(
+        canonical_pairs(edges), nodes=imgs.select("image_id"))
+    v = verdicts_from_clusters(imgs, clusters, edges)
+    return v.select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        "verdict",
+        F.coalesce("dup_class", F.lit("none")).alias("dup_class"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("refers_to_id").cast("long").alias("refers_to_id"),
     )
 
 
@@ -1264,6 +1321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "phash_neardup_pairs": q_phash_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "pipeline_verdicts": q_pipeline_verdicts,
     "near_video_pairs": q_near_video_pairs,
     "image_dedup_verdicts": q_image_dedup_verdicts,
 }
@@ -1583,6 +1641,57 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {DEFAULT.phash_max_hamming}
 """
 
 ORACLES["simhash_neardup_pairs"] = _simhash_pairs_oracle_sql()
+
+# pipeline_verdicts: the flagship's post-decode graph logic end-to-end —
+# three tiers in their exact form, min-priority tier per pair, recursive-CTE
+# connected components, verdict + lineage assembly (TIER_PRIORITY mirrored:
+# exact=1 < near_image=2 < near_caption=3)
+ORACLES["pipeline_verdicts"] = f"""
+WITH RECURSIVE
+dig AS (SELECT doc_id, md5(text) AS digest FROM documents),
+ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dig a JOIN dig b ON a.digest = b.digest AND a.doc_id < b.doc_id
+),
+ph AS (SELECT doc_id, {synth_phash_sql('duck')} AS phash FROM documents),
+ni AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {DEFAULT.phash_max_hamming}
+),
+jp AS ({_JACCARD_PAIRS_SQL}),
+tier_edges AS (
+  SELECT id_a, id_b, 'exact' AS tier, 1 AS p FROM ex
+  UNION ALL SELECT id_a, id_b, 'near_image', 2 FROM ni
+  UNION ALL SELECT id_a, id_b, 'near_caption', 3 FROM jp
+),
+best AS (
+  SELECT id_a, id_b, arg_min(tier, p) AS tier, min(p) AS p
+  FROM tier_edges GROUP BY id_a, id_b
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM best UNION SELECT id_b, id_a FROM best),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s WHERE e2.d <> r.s
+),
+clus AS (
+  SELECT doc_id, coalesce(least(doc_id, m), doc_id) AS cluster_id
+  FROM documents
+  LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = doc_id
+),
+inc AS (
+  SELECT id_a AS doc_id, tier, p FROM best
+  UNION ALL SELECT id_b, tier, p FROM best
+),
+dc AS (SELECT doc_id, arg_min(tier, p) AS dup_class FROM inc GROUP BY doc_id)
+SELECT c.doc_id,
+  CASE WHEN c.cluster_id = c.doc_id THEN 'novel' ELSE 'duplicate' END AS verdict,
+  CASE WHEN c.cluster_id = c.doc_id THEN 'none' ELSE dc.dup_class END AS dup_class,
+  c.cluster_id,
+  CASE WHEN c.cluster_id = c.doc_id THEN NULL ELSE c.cluster_id END AS refers_to_id
+FROM clus c LEFT JOIN dc ON dc.doc_id = c.doc_id
+"""
 
 ORACLES["near_video_pairs"] = f"""
 WITH fr AS (
