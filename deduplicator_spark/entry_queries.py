@@ -751,6 +751,33 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, EMB_DIM, threshold=NEARDUP_COS_T)
 
 
+def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup keep-list (the SemDeDup recipe, arXiv:2303.09540, on
+    Spark): connected components over the embedding-cosine near-dup graph,
+    keep = cluster representative (min vec_id), drop the rest. The
+    training-data curation verb embedding dedup exists for — the pair list
+    becomes an actionable per-row keep/drop verdict with cluster lineage.
+    Composes two independently-oracled pieces (cosine_neardup_pairs ==
+    generated plane-exact twin; connected_components == recursive-CTE
+    closure), so the oracle certifies the composition end-to-end."""
+    from .operators.ann import cosine_neardup_pairs
+    from .operators.candidates import canonical_pairs
+    from .operators.components import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb, EMB_DIM, threshold=NEARDUP_COS_T)
+    p = pairs.select(F.format_string("%012d", "id_a").alias("id_a"),
+                     F.format_string("%012d", "id_b").alias("id_b"))
+    cc = connected_components(
+        canonical_pairs(p),
+        nodes=emb.select(F.format_string("%012d", "vec_id").alias("image_id")))
+    return cc.select(
+        F.col("image_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("image_id") == F.col("cluster_id")).cast("int").alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # perceptual-hash tiers with cross-engine oracles: a deterministic md5-derived
 # 64-bit "phash" table is synthesized from documents IDENTICALLY in both
@@ -1319,6 +1346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "embedding_dedup_keep": q_embedding_dedup_keep,
     "phash_neardup_pairs": q_phash_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "pipeline_verdicts": q_pipeline_verdicts,
@@ -1723,3 +1751,25 @@ SELECT id_a, id_b, round(score, 6) AS score FROM scored WHERE score >= 0.5
 ORACLES["ann_topk_lsh"] = _ann_oracle()
 ORACLES["ann_topk_ivf"] = _ivf_oracle()
 ORACLES["embedding_neardup_pairs"] = _neardup_oracle()
+
+
+def _embedding_dedup_keep_oracle() -> str:
+    """Recursive-CTE closure over the generated cosine-pairs twin, then the
+    keep/drop verdict (cluster rep = min reachable vec_id)."""
+    return f"""
+WITH RECURSIVE pr AS ({_neardup_oracle()}),
+und AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(s, d) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s WHERE u.d <> r.s
+)
+SELECT vec_id,
+       coalesce(least(vec_id, m), vec_id) AS cluster_id,
+       CAST(coalesce(least(vec_id, m), vec_id) = vec_id AS INTEGER) AS keep
+FROM embeddings
+LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = vec_id
+"""
+
+
+ORACLES["embedding_dedup_keep"] = _embedding_dedup_keep_oracle()
