@@ -91,6 +91,71 @@ def streaming_exact_dedup(captures: DataFrame, key: str = "digest",
     )
 
 
+def phash_index_for_stream(index_images: DataFrame,
+                           cfg=None) -> DataFrame:
+    """Static side of the streaming NEAR-IMAGE probe: every indexed image
+    exploded into its 4 x 16-bit pigeonhole band keys (the same banding as
+    the batch tier, functions/hashing.phash_band_keys), phash carried along
+    for the verify. The 'index pre-organized by key' Lucene analog — at
+    cluster scale write it bucketed by (band, key) (plans/bucketed.py) so
+    each micro-batch shuffles only the probe side."""
+    from ..config import DEFAULT
+    from ..functions.hashing import phash_band_keys
+
+    cfg = cfg or DEFAULT
+    return index_images.select(
+        F.col("image_id").alias("idx_image_id"),
+        F.col("phash").alias("idx_phash"),
+        F.explode(phash_band_keys(F.col("phash"), cfg)).alias("bk"),
+    ).select("idx_image_id", "idx_phash",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def probe_phash_stream(captures: DataFrame, banded_index: DataFrame,
+                       cfg=None) -> DataFrame:
+    """Streaming near-duplicate IMAGE hits: incoming (image_id, phash) rows
+    band-exploded and equi-joined against the static banded index on
+    (band, key), then Hamming-verified JVM-side — the incremental form of
+    the batch near_image tier, recall-1 for Hamming <= cfg.phash_max_hamming
+    by pigeonhole, with NO stream-side state.
+
+    A pair agreeing on several bands would emit once per shared band, and
+    streams cannot distinct/window it away without state — so dedup is
+    STATELESS: both phashes are present after the join, so each row computes
+    the pair's FIRST agreeing band from xor alone and survives only if it IS
+    that band (exactly one row per verified pair, deterministic).
+
+    Emits verified hits only (duplicate verdicts). Novelty ('no index image
+    within Hamming 3') is a negative over ALL 4 band joins, which no
+    stateless per-row operator can decide — reconcile novels batch-side via
+    anti-join on the processed ids, or keep the exact-digest probe_stream's
+    left join for the tier-0 verdict."""
+    from ..config import DEFAULT
+    from ..functions.hashing import hamming64, phash_band_keys
+
+    cfg = cfg or DEFAULT
+    probes = captures.select(
+        "*",
+        F.explode(phash_band_keys(F.col("phash"), cfg)).alias("bk"),
+    ).select(F.col("*"), F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key")).drop("bk")
+    joined = probes.join(banded_index, ["band", "key"]).filter(
+        F.col("image_id") != F.col("idx_image_id"))
+    x = F.col("phash").bitwiseXOR(F.col("idx_phash"))
+    first_agree = F.coalesce(*[
+        F.when(F.shiftrightunsigned(x, 16 * i).bitwiseAND(F.lit(0xFFFF)) == 0,
+               F.lit(i))
+        for i in range(4)
+    ])
+    return (
+        joined.filter(F.col("band") == first_agree)
+        .withColumn("hamming", hamming64(F.col("phash"), F.col("idx_phash")))
+        .filter(F.col("hamming") <= cfg.phash_max_hamming)
+        .drop("band", "key")
+        .withColumn("verdict", F.lit("duplicate"))
+    )
+
+
 def run_probe_to_memory(spark: SparkSession, captures: DataFrame,
                         static_index: DataFrame, table_name: str,
                         keys: tuple[str, ...] = ("digest",)) -> None:

@@ -113,6 +113,61 @@ def test_stateful_dup_stats_matches_batch(spark, tmp_path):
     assert any(n > 1 for n, _ in got.values())  # real dups exercised
 
 
+def test_streaming_phash_probe_matches_exact_hamming(spark, tmp_path):
+    """Streaming near-image probe == the exact Hamming<=3 probe-x-index join:
+    pigeonhole recall-1 through the stream-static band join, and the
+    stateless first-agreeing-band dedup emits EXACTLY one row per verified
+    pair (a Hamming-1 pair agrees on 3 bands — without the dedup it would
+    triple-emit)."""
+    from deduplicator_spark.entry_queries import synth_phash_sql
+    from deduplicator_spark.streaming.probe import (
+        phash_index_for_stream,
+        probe_phash_stream,
+        read_capture_stream,
+    )
+
+    base = spark.range(0, 400).select(
+        F.format_string("idx-%04d", "id").alias("image_id"),
+        F.expr(synth_phash_sql("spark", "id")).alias("phash"),
+    )
+    # probes: planted decade variants (Hamming 1/3 hit, 5 miss) + exact dups
+    probes = spark.range(0, 400).filter("id % 10 in (1, 2, 3, 0)").select(
+        F.format_string("probe-%04d", "id").alias("image_id"),
+        F.expr(synth_phash_sql("spark", "id")).alias("phash"),
+    )
+    banded_idx = phash_index_for_stream(base).persist()
+
+    src = str(tmp_path / "phash_src")
+    probes.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_capture_stream(spark, src, schema, max_files_per_trigger=2)
+    q = (
+        probe_phash_stream(stream, banded_idx)
+        .writeStream.format("memory").queryName("phash_out")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table("phash_out").collect()
+    got = {(r["image_id"], r["idx_image_id"]): r["hamming"] for r in rows}
+    assert len(rows) == len(got)  # first-agreeing-band dedup: one row/pair
+
+    want = {
+        (r["pid"], r["iid"]): r["hamming"]
+        for r in probes.alias("p").crossJoin(base.alias("i"))
+        .select(F.col("p.image_id").alias("pid"), F.col("i.image_id").alias("iid"),
+                F.bit_count(F.col("p.phash").bitwiseXOR(F.col("i.phash"))).alias("hamming"))
+        .filter("hamming <= 3").collect()
+    }
+    assert got == want
+    assert any(h == 0 for h in got.values())   # exact-dup probes (x%10==0)
+    assert any(h == 3 for h in got.values())   # Hamming-3 plants
+    # Hamming-5 negative controls: a x%10==3 probe pairs only with its
+    # IDENTICAL index twin (same synth formula), never its decade anchor
+    h5_to_anchor = {(f"probe-{i:04d}", f"idx-{i - 3:04d}")
+                    for i in range(400) if i % 10 == 3}
+    assert not (set(got) & h5_to_anchor)
+
+
 def test_verdict_rollup_stream(spark, tmp_path):
     from deduplicator_spark.streaming.probe import (
         probe_stream,
