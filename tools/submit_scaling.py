@@ -46,12 +46,15 @@ _DUP_RE = re.compile(r"verdicts\s+duplicate\s+(\d+)")
 
 def _submit_leg(cores: int, n: int) -> tuple[float, int]:
     cmd = [
-        SPARK_SUBMIT, "--master", f"local[{cores}]", "--py-files", ZIP,
+        # --driver-memory must be a submit arg: by session-builder time the
+        # JVM already exists, so spark.driver.memory there is a silent no-op
+        SPARK_SUBMIT, "--master", f"local[{cores}]", "--driver-memory", "48g",
+        "--py-files", ZIP,
         "/root/repo/jobs/submit.py", "--cores", str(cores), "run",
         "--input", CORPUS_DIR, "--warmup", str(WARMUP_N),
         "--no-persist-input",
     ]
-    env = dict(os.environ, SPARK_DRIVER_MEM="48g")
+    env = dict(os.environ)
     out = subprocess.run(cmd, cwd="/tmp", env=env, capture_output=True,
                          text=True, timeout=3600)
     m = _RESULT_RE.search(out.stdout)
