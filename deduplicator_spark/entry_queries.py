@@ -874,6 +874,49 @@ def q_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one digest derivation rendered for both engines: %10==4 probes reuse their
+# decade anchor's digest (planted exact duplicates), everything else is unique
+_IIDX_DIGEST_SQL = ("md5('d:' || CAST(CASE WHEN doc_id % 10 = 4"
+                    " THEN doc_id - 4 ELSE doc_id END AS STRING))")
+
+
+def q_image_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two-job lifecycle (IndexingLauncher §3.1 builds an
+    index once; the DeDuplicator processor §3.2 probes each capture against
+    it, DeDuplicator.java:149-192) applied to the IMAGE payload, cross-engine
+    verified: plans/image_index.build_image_index + probe_images over a
+    deterministic split of `documents` — decade anchors (doc_id%10==0) are
+    the indexed corpus, the rest probe it. Digest plant: %10==4 reuses the
+    anchor's digest (exact duplicate); phash plant: synth_phash_sql gives
+    %10==1/2 a Hamming 1/3 near-dup of the anchor and %10==3 a Hamming-5
+    negative control (novel). Oracle = the same split with an exact O(n*m)
+    Hamming join and identical (hamming, idx_id) top-1 tiebreak; equality
+    holds because the banded probe join is recall-1 for Hamming<=3 by
+    pigeonhole and exact-beats-near mirrors DIGEST_URL_PREFERRED's
+    preference order (LuceneIndexSearcher.java:131-170)."""
+    from .plans.image_index import build_image_index, probe_images
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.expr(_IIDX_DIGEST_SQL).alias("digest"),
+        F.expr(synth_phash_sql("spark", "doc_id")).alias("phash"),
+    )
+    anchors = base.filter(F.col("doc_id") % 10 == 0)
+    index = build_image_index(anchors.select("image_id", "phash"),
+                              digests=anchors.select("image_id", "digest"))
+    probes = base.filter(F.col("doc_id") % 10 != 0) \
+        .select("image_id", "digest", "phash")
+    v = probe_images(probes, index, DEFAULT)
+    return v.select(
+        F.col("image_id").cast("long").alias("probe_id"),
+        "verdict",
+        F.col("refers_to_id").cast("long").alias("refers_to_id"),
+        F.col("hamming"),
+    )
+
+
 def q_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine proof of the FLAGSHIP pipeline's post-decode graph logic:
     the REAL plans/pipeline machinery (candidate_edges -> tier-priority edge
@@ -1348,6 +1391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "phash_neardup_pairs": q_phash_neardup_pairs,
+    "image_index_probe": q_image_index_probe,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "pipeline_verdicts": q_pipeline_verdicts,
     "near_video_pairs": q_near_video_pairs,
@@ -1666,6 +1710,42 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM ph a JOIN ph b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {DEFAULT.phash_max_hamming}
+"""
+
+ORACLES["image_index_probe"] = f"""
+WITH base AS (
+  SELECT doc_id, {_IIDX_DIGEST_SQL} AS digest,
+         {synth_phash_sql('duckdb', 'doc_id')} AS phash
+  FROM documents
+),
+idx AS (SELECT * FROM base WHERE doc_id % 10 = 0),
+probes AS (SELECT * FROM base WHERE doc_id % 10 <> 0),
+exact AS (
+  SELECT p.doc_id, min(i.doc_id) AS ref
+  FROM probes p JOIN idx i ON p.digest = i.digest GROUP BY p.doc_id
+),
+near_all AS (
+  SELECT p.doc_id, i.doc_id AS idx_id,
+         CAST(bit_count(xor(p.phash, i.phash)) AS BIGINT) AS h
+  FROM probes p JOIN idx i
+    ON bit_count(xor(p.phash, i.phash)) <= {DEFAULT.phash_max_hamming}
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM exact)
+),
+near AS (
+  SELECT doc_id, idx_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h, idx_id) AS rn
+  FROM near_all
+)
+SELECT doc_id AS probe_id, 'duplicate' AS verdict, ref AS refers_to_id,
+       CAST(NULL AS BIGINT) AS hamming
+FROM exact
+UNION ALL
+SELECT doc_id, 'near_duplicate', idx_id, h FROM near WHERE rn = 1
+UNION ALL
+SELECT p.doc_id, 'novel', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM probes p
+WHERE p.doc_id NOT IN (SELECT doc_id FROM exact)
+  AND p.doc_id NOT IN (SELECT doc_id FROM near)
 """
 
 ORACLES["simhash_neardup_pairs"] = _simhash_pairs_oracle_sql()
