@@ -411,6 +411,156 @@ FROM documents LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = do
 """
 
 
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data keep rule: per near-dup cluster keep ONE representative,
+    the member with the most tokens (tiebreak: smallest doc_id) — the
+    cluster-representative selection step every dedup pipeline runs after
+    clustering (generalizing the reference's 'original beats revisit' choice,
+    IndexBuilder last-wins, to quality-ranked survivors). Reuses the shared
+    persisted LSH tier + the same CC operator as q_dedup_clusters; the extra
+    work is one token count per doc (Column algebra) and one window over
+    clusters — no new shuffle beyond groupBy(cluster_id)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    cc = connected_components(
+        canonical_pairs(pairs.select("id_a", "id_b")),
+        nodes=docs.select(F.format_string("%012d", "doc_id").alias("image_id")),
+    ).select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    tok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok"))
+    j = cc.join(tok, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members",
+                    F.count("*").over(Window.partitionBy("cluster_id")))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id",
+                F.col("doc_id").alias("keep_doc_id"),
+                F.col("n_members").cast("long").alias("n_members"),
+                F.col("n_tok").alias("keep_n_tok"))
+    )
+
+
+_CLUSTER_CTES = _CLUSTERS_SQL.split("SELECT doc_id, coalesce")[0].rstrip()
+_KEEP_BEST_SQL = f"""
+{_CLUSTER_CTES},
+clusters AS (
+  SELECT doc_id, coalesce(least(doc_id, m), doc_id) AS cluster_id
+  FROM documents LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = doc_id
+),
+tok AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, t.n_tok,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY t.n_tok DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN tok t USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members, n_tok AS keep_n_tok
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the GPT-3-style pass every training
+    pipeline runs before the dedup tiers ship data: flag every training doc
+    sharing ANY k-token shingle with a held-out eval set (here doc_id%100==0
+    plays the benchmark). Returns per training doc: contaminated flag, how
+    many distinct shingles leak, and the smallest leaking eval doc id.
+
+    100 TB shape: the eval side is tiny (benchmarks are KBs, corpora are
+    TBs), so its exploded shingle set is BROADCAST — the training corpus is
+    scanned once with no shuffle; only the matched rows (bounded by the
+    contamination rate) shuffle into the per-doc count. The same
+    hot-shingle reasoning as ngram_jaccard_pairs does NOT apply: the join is
+    train x eval, never train x train, so a boilerplate shingle costs
+    O(n_train_postings x n_eval_postings), bounded by the broadcast side."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(tokens(F.col("text")), SHINGLE_K).alias("sh"))
+    ev = sh.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.explode("sh").alias("shingle"))
+    train = sh.filter(F.col("doc_id") % 100 != 0)
+    hits = (
+        train.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_ngrams"),
+             F.min("eval_id").alias("first_eval_id"))
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shared_ngrams").isNotNull().alias("contaminated"),
+        F.coalesce("n_shared_ngrams", F.lit(0)).cast("long").alias("n_shared_ngrams"),
+        F.col("first_eval_id").cast("long").alias("first_eval_id"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher/MassiveText quality-filter
+    signal the cross-document tiers can't see): per doc, the fraction of
+    k-gram occurrences that are repeats of an earlier k-gram in the SAME
+    doc. Pure Column algebra over the token array — no shuffle at all; at
+    100 TB this is a map-only pass fused into whatever scan runs first."""
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - SHINGLE_K, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, SHINGLE_K)),
+    )
+    grams = F.when(F.size(t) >= SHINGLE_K, windows) \
+        .otherwise(F.array(F.concat_ws(" ", t)))
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.round(1 - F.size(F.array_distinct(grams)) / F.size(grams), 6)
+        .alias("rep_frac"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {SHINGLE_K}
+      THEN list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [array_to_string(t, ' ')] END AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+)
+SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+       round(1 - len(list_distinct(sh)) * 1.0 / len(sh), 6) AS rep_frac
+FROM w
+"""
+
+
+_DECONTAMINATE_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM s WHERE doc_id % 100 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id % 100 <> 0),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n_shared,
+         min(ev.eval_id) AS first_eval_id
+  FROM tr JOIN ev USING (shingle) GROUP BY 1
+)
+SELECT s.doc_id, (h.doc_id IS NOT NULL) AS contaminated,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+       CAST(h.first_eval_id AS BIGINT) AS first_eval_id
+FROM s LEFT JOIN hits h ON h.doc_id = s.doc_id
+WHERE s.doc_id % 100 <> 0
+"""
+
+
 # --------------------------------------------------------------------------
 # containment tier (tier 3) cross-engine proof — planted-structure pattern.
 # The documents are 10-100 tokens (all below the 120-token long gate), so the
@@ -917,6 +1067,89 @@ def q_image_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CIDX_DIGEST_SQL = ("md5('c:' || CAST(CASE WHEN doc_id % 10 = 4"
+                    " THEN doc_id - 4 ELSE doc_id END AS STRING))")
+
+
+def q_caption_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.1/§3.2 index->probe lifecycle on the TEXT payload
+    (plans/caption_index.py), cross-engine verified on the same decade split
+    as image_index_probe: anchors (doc_id%10==0) are indexed, the rest probe.
+    Exact tier: planted digest (%10==4 reuses the anchor's). Near tier: LSH
+    band agreement + exact-Jaccard verify over the REAL document texts,
+    top-1 by (jaccard desc, index id asc). Oracle = exact cross-set
+    shingle-Jaccard join with the identical precedence and tiebreak;
+    equality holds because b=32/r=4 banding misses a J>=0.8 pair w.p. ~5e-8
+    (the minhash_lsh_pairs argument, cross-set form)."""
+    from .plans.caption_index import build_caption_index, probe_captions
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.col("text").alias("caption"),
+        F.expr(_CIDX_DIGEST_SQL).alias("digest"),
+    )
+    anchors = base.filter(F.col("doc_id") % 10 == 0)
+    index = build_caption_index(
+        anchors.select("image_id", "caption"),
+        digests=anchors.select("image_id", "digest"))
+    rest = base.filter(F.col("doc_id") % 10 != 0)
+    probes = build_caption_index(
+        rest.select("image_id", "caption"),
+        digests=rest.select("image_id", "digest"))
+    v = probe_captions(probes, index, DEFAULT)
+    return v.select(
+        F.col("image_id").cast("long").alias("probe_id"),
+        "verdict",
+        F.col("refers_to_id").cast("long").alias("refers_to_id"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_CAPTION_PROBE_SQL = f"""
+WITH s0 AS ({_SHINGLES_SQL}),
+s AS (SELECT doc_id, {_CIDX_DIGEST_SQL} AS digest, sh FROM s0),
+idx AS (SELECT * FROM s WHERE doc_id % 10 = 0),
+probes AS (SELECT * FROM s WHERE doc_id % 10 <> 0),
+exact AS (
+  SELECT p.doc_id, min(i.doc_id) AS ref
+  FROM probes p JOIN idx i ON p.digest = i.digest GROUP BY p.doc_id
+),
+pe AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM probes
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+),
+ie AS (SELECT doc_id, unnest(sh) AS shingle FROM idx),
+inter AS (
+  SELECT p.doc_id AS pid, i.doc_id AS iid, count(*) AS n
+  FROM pe p JOIN ie i ON p.shingle = i.shingle GROUP BY 1, 2
+),
+z AS (SELECT doc_id, len(sh) AS nsh FROM s),
+scored AS (
+  SELECT pid, iid, n * 1.0 / (zp.nsh + zi.nsh - n) AS jaccard
+  FROM inter JOIN z zp ON zp.doc_id = pid JOIN z zi ON zi.doc_id = iid
+  WHERE n * 1.0 / (zp.nsh + zi.nsh - n) >= {JACCARD_T}
+),
+near AS (
+  SELECT pid, iid, jaccard,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY jaccard DESC, iid ASC) AS rn
+  FROM scored
+)
+SELECT doc_id AS probe_id, 'duplicate' AS verdict, ref AS refers_to_id,
+       CAST(NULL AS DOUBLE) AS jaccard
+FROM exact
+UNION ALL
+SELECT pid, 'near_duplicate', iid, round(jaccard, 6) FROM near WHERE rn = 1
+UNION ALL
+SELECT p.doc_id, 'novel', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM probes p
+WHERE p.doc_id NOT IN (SELECT doc_id FROM exact)
+  AND p.doc_id NOT IN (SELECT pid FROM near)
+"""
+
+
 def q_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine proof of the FLAGSHIP pipeline's post-decode graph logic:
     the REAL plans/pipeline machinery (candidate_edges -> tier-priority edge
@@ -1380,6 +1613,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "containment_pairs": q_containment_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "cluster_keep_best": q_cluster_keep_best,
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
@@ -1392,6 +1628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "phash_neardup_pairs": q_phash_neardup_pairs,
     "image_index_probe": q_image_index_probe,
+    "caption_index_probe": q_caption_index_probe,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "pipeline_verdicts": q_pipeline_verdicts,
     "near_video_pairs": q_near_video_pairs,
@@ -1627,6 +1864,9 @@ FROM documents
     "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
     "containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
+    "cluster_keep_best": _KEEP_BEST_SQL,
+    "ngram_decontaminate": _DECONTAMINATE_SQL,
+    "repetition_stats": _REPETITION_SQL,
     "doc_fingerprint": f"""
 WITH s AS ({_SHINGLES_SQL})
 SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint,
@@ -1747,6 +1987,8 @@ FROM probes p
 WHERE p.doc_id NOT IN (SELECT doc_id FROM exact)
   AND p.doc_id NOT IN (SELECT doc_id FROM near)
 """
+
+ORACLES["caption_index_probe"] = _CAPTION_PROBE_SQL
 
 ORACLES["simhash_neardup_pairs"] = _simhash_pairs_oracle_sql()
 

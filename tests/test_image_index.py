@@ -73,6 +73,62 @@ def test_exact_beats_near(planted):
     assert planted["p_both"]["refers_to_id"] == "idx0"
 
 
+def test_probe_observation_counters(spark):
+    # A-series counter analog (DeDuplicator.java:54-94): verdict totals ride
+    # the result action via observe(), no second pass over the probes.
+    from pyspark.sql import Observation
+
+    imgs = spark.createDataFrame(
+        [("i", bytearray(b"seed"), 0)], "image_id string, bytes binary, phash long")
+    index = build_image_index(imgs)
+    probes = spark.createDataFrame(
+        [("a", "x", 1 << 5), ("b", "y", 0x7FFF00000000FFFF)],
+        "image_id string, digest string, phash long")
+    probes = probes.unionByName(
+        index.select("image_id", "digest", "phash").limit(1)
+        .withColumn("image_id", F.lit("c")))
+    obs = Observation("probe_counters")
+    out = probe_images(probes, index, DEFAULT, observation=obs)
+    n = out.count()
+    got = obs.get
+    assert got["handled"] == n == 3
+    assert got["duplicate"] == 1      # c: digest hit
+    assert got["near_duplicate"] == 1  # a: hamming 1 from phash 0
+    assert got["novel"] == 1           # b: far
+
+
+def test_append_mode_increments(spark):
+    # K1 APPEND semantics on the image payload: batch 1's novels join the
+    # index, so batch 2 rows deriving from them resolve against batch 1.
+    from deduplicator_spark.plans.image_index import probe_and_extend
+
+    index = build_image_index(spark.createDataFrame(
+        [("idx0", bytearray(b"seed"), 1 << 20)],
+        "image_id string, bytes binary, phash long"))
+
+    b1 = spark.createDataFrame(
+        [("n1", bytearray(b"batch1-new"), 0x00FF00FF00FF00FF)],
+        "image_id string, bytes binary, phash long")
+    b1 = b1.select("image_id", F.sha2("bytes", 256).alias("digest"), "phash")
+    v1, index2 = probe_and_extend(b1, index)
+    v1.persist().count()
+    assert {r["verdict"] for r in v1.collect()} == {"novel"}
+    assert index2.count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            ("d2", bytearray(b"batch1-new"), 5),          # exact dup of n1
+            ("h2", bytearray(b"b2-h"), _flip(0x00FF00FF00FF00FF, 8)),  # near n1
+        ],
+        "image_id string, bytes binary, phash long")
+    b2 = b2.select("image_id", F.sha2("bytes", 256).alias("digest"), "phash")
+    v2 = probe_images(b2, index2, DEFAULT)
+    rows = {r["image_id"]: r for r in v2.collect()}
+    assert rows["d2"]["verdict"] == "duplicate" and rows["d2"]["refers_to_id"] == "n1"
+    assert rows["h2"]["verdict"] == "near_duplicate" and rows["h2"]["refers_to_id"] == "n1"
+    v1.unpersist()
+
+
 def test_reprobed_index_row_is_duplicate_of_itself(spark):
     imgs = spark.createDataFrame(
         [("a", bytearray(b"xx"), 7), ("b", bytearray(b"yy"), 9)],

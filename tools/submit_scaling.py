@@ -34,7 +34,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-REPEATS = 3
+REPEATS = int(os.environ.get("SUBMIT_SCALING_REPEATS", "3"))
+KEEP_CORPUS = os.environ.get("SUBMIT_SCALING_KEEP_CORPUS", "") == "1"
 WARMUP_N = 2000
 CORPUS_DIR = "/tmp/submit_corpus"
 ZIP = "/tmp/dedup_submit.zip"
@@ -70,30 +71,47 @@ def main() -> None:
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
-    from deduplicator_spark.session import get_spark, stop_spark
-    from deduplicator_spark.synth import write_images_parquet
     from tools.make_pyfiles import build
 
     build(ZIP)
-    spark = get_spark("submit-corpus")
-    write_images_parquet(spark, n, CORPUS_DIR)
-    stop_spark()
+    if KEEP_CORPUS and os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        run_legs(n, small, big)
+        return
+    # corpus write in its own interpreter so the local[32] writer JVM is GONE
+    # before any timed leg starts (in-process stop_spark leaves the gateway
+    # JVM alive at ~5% cpu for the rest of the run)
+    subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo');"
+         "from deduplicator_spark.session import get_spark;"
+         "from deduplicator_spark.synth import write_images_parquet;"
+         f"write_images_parquet(get_spark('submit-corpus'), {n}, {CORPUS_DIR!r})"],
+        check=True, capture_output=True, timeout=3600)
     for fn in os.listdir(CORPUS_DIR):
         with open(os.path.join(CORPUS_DIR, fn), "rb") as f:
             while f.read(1 << 24):
                 pass
+    run_legs(n, small, big)
 
+
+def run_legs(n: int, small: int, big: int) -> None:
     times: dict[int, list[float]] = {small: [], big: []}
     loads: dict[int, list[float]] = {small: [], big: []}
     dups: dict[int, int] = {}
     for r in range(REPEATS):
         for cores in ((small, big) if r % 2 == 0 else (big, small)):
-            loads[cores].append(round(os.getloadavg()[0], 1))
+            before = os.getloadavg()[0]
             sec, dup = _submit_leg(cores, n)
+            # load DURING the leg is what matters; the 1-min average right
+            # after the leg (minus this leg's own cores) reflects it far
+            # better than the one before, when this job wasn't running yet
+            loads[cores].append(round(
+                max(before, os.getloadavg()[0] - cores), 1))
             times[cores].append(round(sec, 2))
             dups[cores] = dup
             print(f"round {r} local[{cores}]: {sec:.1f}s "
-                  f"({n / sec:.0f} img/s, dup={dup})", flush=True)
+                  f"({n / sec:.0f} img/s, dup={dup}, "
+                  f"ext_load~{loads[cores][-1]})", flush=True)
 
     best = {c: min(ts) for c, ts in times.items()}
     rate = {c: round(n / best[c], 1) for c in best}
@@ -103,9 +121,9 @@ def main() -> None:
         "launcher": "spark-submit --py-files",
         "n_images": n,
         "small": {"cores": small, "sec": best[small], "images_per_sec": rate[small],
-                  "all_runs_sec": times[small], "load_before_runs": loads[small]},
+                  "all_runs_sec": times[small], "ext_load_runs": loads[small]},
         "big": {"cores": big, "sec": best[big], "images_per_sec": rate[big],
-                "all_runs_sec": times[big], "load_before_runs": loads[big]},
+                "all_runs_sec": times[big], "ext_load_runs": loads[big]},
         "speedup": round(rate[big] / rate[small], 2),
         "scaling_efficiency": round(eff, 3),
         "verdicts_identical": dups[small] == dups[big],
@@ -126,7 +144,7 @@ warm-up pipeline, --no-persist-input (pruned-column scans from storage,
 payload bytes read once), interleaved best-of-{REPEATS} on the same
 pre-written {n}-image deterministic parquet corpus.
 
-| leg | best wall (s) | images/sec | all runs (s) | load avg before runs |
+| leg | best wall (s) | images/sec | all runs (s) | external load per run (max of 1-min avg before / after-minus-own-cores) |
 |---|---|---|---|---|
 | spark-submit local[{small}] | {best[small]} | {rate[small]} | {times[small]} | {loads[small]} |
 | spark-submit local[{big}] | {best[big]} | {rate[big]} | {times[big]} | {loads[big]} |
