@@ -561,6 +561,97 @@ WHERE s.doc_id % 100 <> 0
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-curation capstone (plans/curate.py): decontaminate ->
+    quality gate -> near-dup clustering -> keep-best representative, one
+    verdict row per training document (doc_id%100==0 plays the eval set).
+    The whole composed plan — broadcast decontamination, Column-algebra
+    quality gate, survivor-only LSH tier, CC, representative window — is
+    hash-verified against a DuckDB twin that computes the identical
+    precedence (eval_overlap > quality:short > quality:repetitive >
+    quality:no_stopwords > near_duplicate) from the exact-Jaccard join."""
+    from .plans.curate import curate_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return curate_documents(
+        docs.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text"),
+        docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text"),
+        DEFAULT, jaccard_t=JACCARD_T,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "status", "reason",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("refers_to").cast("long").alias("refers_to"),
+    )
+
+
+_CURATE_SQL = f"""
+WITH RECURSIVE
+sall AS ({_SHINGLES_SQL}),
+feat AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+         len(list_intersect(list_distinct(toks),
+                            ['the','a','of','and','to','in'])) * 1.0
+           / len(list_distinct(toks)) AS stop_ratio
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id % 100 <> 0)
+),
+evd AS (SELECT DISTINCT shingle FROM
+        (SELECT unnest(sh) AS shingle FROM sall WHERE doc_id % 100 = 0)),
+cont AS (SELECT DISTINCT e.doc_id
+         FROM (SELECT doc_id, unnest(sh) AS shingle FROM sall
+               WHERE doc_id % 100 <> 0) e
+         JOIN evd USING (shingle)),
+pre AS (
+  SELECT f.doc_id, f.n_tok,
+    CASE WHEN c.doc_id IS NOT NULL THEN 'eval_overlap'
+         WHEN f.n_tok < 20 THEN 'quality:short'
+         WHEN f.ttr < 0.3 THEN 'quality:repetitive'
+         WHEN f.stop_ratio < 0.05 THEN 'quality:no_stopwords'
+    END AS pre_reason
+  FROM feat f LEFT JOIN cont c ON c.doc_id = f.doc_id
+),
+surv AS (SELECT doc_id, n_tok FROM pre WHERE pre_reason IS NULL),
+p2 AS ({_JACCARD_PAIRS_SQL}),
+pe AS (SELECT id_a, id_b FROM p2
+       JOIN surv sa ON sa.doc_id = p2.id_a
+       JOIN surv sb ON sb.doc_id = p2.id_b),
+edg AS (SELECT id_a AS src, id_b AS dst FROM pe
+        UNION SELECT id_b, id_a FROM pe),
+reach2(src, dst) AS (
+  SELECT src, dst FROM edg
+  UNION
+  SELECT r.src, e.dst FROM reach2 r JOIN edg e ON r.dst = e.src
+  WHERE e.dst <> r.src
+),
+clus AS (
+  SELECT surv.doc_id, n_tok,
+         coalesce(least(surv.doc_id, m), surv.doc_id) AS cluster_id
+  FROM surv LEFT JOIN (SELECT src, min(dst) AS m FROM reach2 GROUP BY src)
+       ON src = surv.doc_id
+),
+rk AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tok DESC, doc_id ASC) AS rn,
+         first_value(doc_id) OVER (PARTITION BY cluster_id
+                                   ORDER BY n_tok DESC, doc_id ASC) AS keeper
+  FROM clus
+)
+SELECT doc_id, 'dropped' AS status, pre_reason AS reason,
+       CAST(NULL AS BIGINT) AS cluster_id, CAST(NULL AS BIGINT) AS refers_to
+FROM pre WHERE pre_reason IS NOT NULL
+UNION ALL
+SELECT doc_id,
+       CASE WHEN rn = 1 THEN 'kept' ELSE 'dropped' END AS status,
+       CASE WHEN rn = 1 THEN NULL ELSE 'near_duplicate' END AS reason,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN rn = 1 THEN NULL ELSE keeper END AS BIGINT) AS refers_to
+FROM rk
+"""
+
+
 # --------------------------------------------------------------------------
 # containment tier (tier 3) cross-engine proof — planted-structure pattern.
 # The documents are 10-100 tokens (all below the 120-token long gate), so the
@@ -1616,6 +1707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_keep_best": q_cluster_keep_best,
     "ngram_decontaminate": q_ngram_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "curate_corpus": q_curate_corpus,
     "doc_fingerprint": q_doc_fingerprint,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
@@ -1867,6 +1959,7 @@ FROM documents
     "cluster_keep_best": _KEEP_BEST_SQL,
     "ngram_decontaminate": _DECONTAMINATE_SQL,
     "repetition_stats": _REPETITION_SQL,
+    "curate_corpus": _CURATE_SQL,
     "doc_fingerprint": f"""
 WITH s AS ({_SHINGLES_SQL})
 SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint,
