@@ -561,6 +561,77 @@ WHERE s.doc_id % 100 <> 0
 """
 
 
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-substring dedup at passage granularity
+    (operators/passages.py — the Lee et al. ExactSubstr pass as three
+    shuffles, no suffix array): maximal disjoint token spans occurring
+    verbatim >= 2 times corpus-wide in 5-token windows."""
+    from .operators.passages import repeated_passages
+
+    docs = load(spark, sf_dir, "documents")
+    return repeated_passages(docs).select(
+        "doc_id", "span_start", "span_end", "span_tokens")
+
+
+def q_repeated_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-span coverage (the quality-filter signal from
+    the passage pass): one row per doc, fraction of tokens inside a
+    corpus-repeated span. Span disjointness (operators/passages.py island
+    rule) guarantees the fraction never exceeds 1."""
+    from .operators.passages import repeated_token_fraction
+
+    docs = load(spark, sf_dir, "documents")
+    return repeated_token_fraction(docs).select(
+        "doc_id", "n_tokens", "repeated_tokens", "repeated_frac")
+
+
+_RK = 5  # REPEAT_K mirrored into the oracle
+
+_REPEATED_SPANS_CORE = f"""
+t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         array_to_string(toks[i:i + {_RK - 1}], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - {_RK - 2})) AS u(i)
+  WHERE len(toks) >= {_RK}
+),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+rep AS (SELECT doc_id, pos FROM g JOIN hot USING (gram)),
+lagd AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM rep
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - prev <= {_RK} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagd
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {_RK - 1} AS span_end,
+         max(pos) - min(pos) + {_RK} AS span_tokens
+  FROM isl GROUP BY doc_id, grp
+)"""
+
+_REPEATED_PASSAGES_SQL = f"""
+WITH {_REPEATED_SPANS_CORE}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+"""
+
+_REPEATED_COVERAGE_SQL = f"""
+WITH {_REPEATED_SPANS_CORE},
+cov AS (SELECT doc_id, sum(span_tokens) AS rt FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.rt, 0) AS BIGINT) AS repeated_tokens,
+       round(coalesce(c.rt, 0) * 1.0
+             / len(string_split_regex(trim(d.text), '\\s+')), 6) AS repeated_frac
+FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
+"""
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-curation capstone (plans/curate.py): decontaminate ->
     quality gate -> near-dup clustering -> keep-best representative, one
@@ -1708,6 +1779,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_decontaminate": q_ngram_decontaminate,
     "repetition_stats": q_repetition_stats,
     "curate_corpus": q_curate_corpus,
+    "repeated_passages": q_repeated_passages,
+    "repeated_coverage": q_repeated_coverage,
     "doc_fingerprint": q_doc_fingerprint,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
@@ -1960,6 +2033,8 @@ FROM documents
     "ngram_decontaminate": _DECONTAMINATE_SQL,
     "repetition_stats": _REPETITION_SQL,
     "curate_corpus": _CURATE_SQL,
+    "repeated_passages": _REPEATED_PASSAGES_SQL,
+    "repeated_coverage": _REPEATED_COVERAGE_SQL,
     "doc_fingerprint": f"""
 WITH s AS ({_SHINGLES_SQL})
 SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint,
