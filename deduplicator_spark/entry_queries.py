@@ -381,6 +381,23 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering exact set-similarity join (operators/prefixjoin.py,
+    PPJoin family): only each caption's rarest-first prefix is indexed, yet
+    the output provably equals the full inverted-index join — the same
+    oracle as ngram_jaccard_pairs/minhash_lsh_pairs verifies all three
+    candidate strategies against one exact-Jaccard twin."""
+    from .operators.prefixjoin import prefix_filtered_pairs
+
+    docs = _docs_as_items(load(spark, sf_dir, "documents"))
+    pairs = prefix_filtered_pairs(docs, JACCARD_T)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup edges; every doc gets
     a cluster id (min reachable doc_id). Oracle: recursive CTE closure.
@@ -1773,6 +1790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_digest_documents": q_exact_digest_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
     "dedup_clusters": q_dedup_clusters,
     "cluster_keep_best": q_cluster_keep_best,
@@ -2027,6 +2045,7 @@ FROM documents
 """,
     "ngram_jaccard_pairs": _JACCARD_PAIRS_CAPPED_SQL,
     "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+    "prefix_jaccard_pairs": _JACCARD_PAIRS_SQL,
     "containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "cluster_keep_best": _KEEP_BEST_SQL,
