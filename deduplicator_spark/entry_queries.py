@@ -1066,6 +1066,17 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, EMB_DIM)
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: the memory-bounded scale path — candidates are scanned as
+    nsub-byte product-quantization codes against a broadcast ADC lookup
+    table; the big join never ships an embedding (operators/ann.py docstring
+    for the 10^12-row rationale). Integer-exact, DuckDB-twinned."""
+    from .operators.ann import ann_topk_ivfpq
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_topk_ivfpq(emb, EMB_DIM)
+
+
 NEARDUP_COS_T = 0.35  # driver embeddings are random; 0.35 yields a few
                       # hundred genuine pairs at sf0.01 to exercise the join
 
@@ -1807,6 +1818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "phash_neardup_pairs": q_phash_neardup_pairs,
@@ -2129,6 +2141,12 @@ def _ivf_oracle() -> str:
     return ann_ivf_oracle_sql()
 
 
+def _ivfpq_oracle() -> str:
+    from .operators.ann import ann_ivfpq_oracle_sql
+
+    return ann_ivfpq_oracle_sql(dim=EMB_DIM)
+
+
 ORACLES["phash_neardup_pairs"] = f"""
 WITH ph AS (
   SELECT doc_id, {synth_phash_sql('duckdb', 'doc_id')} AS phash FROM documents
@@ -2259,6 +2277,7 @@ SELECT id_a, id_b, round(score, 6) AS score FROM scored WHERE score >= 0.5
 
 ORACLES["ann_topk_lsh"] = _ann_oracle()
 ORACLES["ann_topk_ivf"] = _ivf_oracle()
+ORACLES["ann_topk_ivfpq"] = _ivfpq_oracle()
 ORACLES["embedding_neardup_pairs"] = _neardup_oracle()
 
 

