@@ -200,3 +200,96 @@ def test_verdict_rollup_stream(spark, tmp_path):
     got_d = {(str(r["window_start"]), r["verdict"]): r["n"] for r in got.collect()}
     want_d = {(str(r["window_start"]), r["verdict"]): r["n"] for r in want.collect()}
     assert got_d == want_d
+
+
+def test_streaming_neardup_dedup_in_stream(spark, tmp_path):
+    """Stateful in-stream near-dup (no static index): per planted family of
+    mutually Hamming<=3 phashes, exactly ONE member emits all-null refs (the
+    first arrival, which seeds the band buckets) and every other member gets
+    >= 1 agreeing-band ref pointing INSIDE its family — recall-1 by
+    pigeonhole, order-robust across micro-batch boundaries. Unrelated hashes
+    (every band differs) never match anything."""
+    from datetime import datetime
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import streaming_neardup_dedup
+
+    # three families of 4 (base + <=3 flipped low bits), 5 far-apart loners
+    bases = [0x1111_2222_3333_4444, 0x5555_6666_7777_0888, 0x0AAA_BBBB_CCCC_DDDD]
+    rows, family_of = [], {}
+    vid = 0
+    for fi, b in enumerate(bases):
+        for flips in (0b000, 0b001, 0b011, 0b111):
+            rows.append((f"img{vid:04d}", b ^ flips, datetime(2026, 1, 1, 0, vid)))
+            family_of[f"img{vid:04d}"] = fi
+            vid += 1
+    for k in range(5):  # loners: distinct in every 16-bit band
+        h = 0
+        for band in range(4):
+            h |= (0x6000 + 0x111 * k + 0x10 * band) << (16 * band)
+        rows.append((f"lone{k}", h, datetime(2026, 1, 1, 0, vid))); vid += 1
+
+    src = str(tmp_path / "neardup_src")
+    df = spark.createDataFrame(rows, "image_id string, phash long, ts timestamp")
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = read_capture_stream(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        streaming_neardup_dedup(stream)
+        .writeStream.format("memory").queryName("neardup_out")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("neardup_out").collect()
+
+    assert len(got) == len(rows) * 4  # one row per (image, band)
+    refs = {}
+    for r in got:
+        refs.setdefault(r["image_id"], []).append((r["ref_id"], r["hamming"]))
+    for k in range(5):  # loners never match
+        assert all(ref is None for ref, _ in refs[f"lone{k}"])
+    for fi in range(len(bases)):
+        members = [i for i, f in family_of.items() if f == fi]
+        seeds = [m for m in members if all(ref is None for ref, _ in refs[m])]
+        assert len(seeds) == 1, f"family {fi}: seeds {seeds}"
+        for m in members:
+            if m in seeds:
+                continue
+            hits = [(ref, ham) for ref, ham in refs[m] if ref is not None]
+            assert hits, f"{m} found no agreeing band"
+            for ref, ham in hits:
+                assert family_of.get(ref) == fi and 0 <= ham <= 3
+
+
+def test_streaming_neardup_bucket_cap(spark, tmp_path):
+    """bucket_cap bounds state: with cap=2 and 4 identical hashes, exactly
+    one seed emits all-null refs and the other three match a stored member
+    on every band."""
+    from datetime import datetime
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import streaming_neardup_dedup
+
+    rows = [(f"d{i}", 0x0123_4567_89AB_CDEF, datetime(2026, 1, 1, 0, i))
+            for i in range(4)]
+    src = str(tmp_path / "cap_src")
+    df = spark.createDataFrame(rows, "image_id string, phash long, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = read_capture_stream(spark, src, schema)
+    q = (
+        streaming_neardup_dedup(stream, bucket_cap=2)
+        .writeStream.format("memory").queryName("cap_out")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("cap_out").collect()
+    refs = {}
+    for r in got:
+        refs.setdefault(r["image_id"], []).append(r["ref_id"])
+    seeds = [i for i, rs in refs.items() if all(x is None for x in rs)]
+    assert seeds == ["d0"]  # single file, (ts, id)-sorted replay
+    for i in ("d1", "d2", "d3"):
+        assert all(x == "d0" for x in refs[i])  # first-inserted member wins
