@@ -29,12 +29,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def candidate_pairs_from_bands(
+def collect_buckets(
     banded: DataFrame,
     pair_cap: int = 16,
     salt_buckets: int = 8,
 ) -> DataFrame:
-    """banded: (image_id, band:int, key:long) -> distinct (id_a < id_b) pairs."""
+    """(band, key, ids, n) per bucket with > 1 member — the salted two-phase
+    member collection. ``ids`` is the capped, sorted member sample
+    (<= salt_buckets * (pair_cap+1), smallest ids first, true global minimum
+    at position 1); ``n`` is the exact bucket cardinality. Exposed separately
+    from candidate_pairs_from_bands so the salting lever can be measured in
+    isolation (tools/skew_bench.py)."""
     frag_cap = pair_cap + 1  # one extra: a complete fragment proves n <= cap
     p1 = (
         banded.groupBy(
@@ -46,7 +51,7 @@ def candidate_pairs_from_bands(
             F.count("*").alias("cnt"),
         )
     )
-    buckets = (
+    return (
         p1.groupBy("band", "key")
         .agg(
             F.array_sort(F.flatten(F.collect_list("ids"))).alias("ids"),
@@ -54,6 +59,15 @@ def candidate_pairs_from_bands(
         )
         .filter(F.col("n") > 1)
     )
+
+
+def candidate_pairs_from_bands(
+    banded: DataFrame,
+    pair_cap: int = 16,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """banded: (image_id, band:int, key:long) -> distinct (id_a < id_b) pairs."""
+    buckets = collect_buckets(banded, pair_cap, salt_buckets)
 
     # small buckets: the salted fragments are provably complete (every salt
     # held <= pair_cap < frag_cap members) -> exact all-pairs expansion
