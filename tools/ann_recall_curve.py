@@ -22,7 +22,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from deduplicator_spark.operators.ann import ann_topk_lsh  # noqa: E402
+from deduplicator_spark.operators.ann import (  # noqa: E402
+    ann_topk_ivfpq,
+    ann_topk_lsh,
+)
 from deduplicator_spark.session import get_spark  # noqa: E402
 
 PLANES = (8, 16, 24)
@@ -142,6 +145,43 @@ def main() -> None:
         header, sep,
     ]
     sweep(emb, dim, k, n_queries, rtruth, lines)
+
+    # --- IVF-PQ on the planted corpus: compressed-code recall ------------
+    lines += [
+        "",
+        "## IVF-PQ on the planted near-dup corpus (compressed-code scan)",
+        "",
+        "Same planted corpus; candidates are scanned as product-quantization "
+        "codes against the broadcast ADC table (operators/ann.py::"
+        "ann_topk_ivfpq) — the memory-bounded path whose database rows carry "
+        "nsub small ints instead of the embedding. Recall = planted copies "
+        "of each queried base in its top-k by ADC distance.",
+        "",
+        "| nlist | nprobe | nsub | recall | sec |", "|---|---|---|---|---|",
+    ]
+    for nprobe in (2, 4, 8):
+        for nsub in (4, 8):
+            t0 = time.perf_counter()
+            out = ann_topk_ivfpq(pl, dim=64, k=k, n_queries=max(pl_truth) + 4,
+                                 nlist=32, nprobe=nprobe, nsub=nsub).collect()
+            sec = time.perf_counter() - t0
+            got = {}
+            for row in out:
+                got.setdefault(row["query_id"], set()).add(row["neighbor_id"])
+            hits = sum(len(got.get(q, set()) & t) for q, t in pl_truth.items())
+            rec = hits / sum(len(v) for v in pl_truth.values())
+            lines.append(f"| 32 | {nprobe} | {nsub} | {rec:.3f} | {sec:.1f} |")
+            print(lines[-1], flush=True)
+
+    lines += [
+        "",
+        "Reading: recall is NOT monotone in nprobe — IVF-PQ ranks by "
+        "quantized ADC distance, so extra probed lists admit candidates "
+        "whose coarse distances are spuriously small under the "
+        "training-free codebook, crowding true copies out of the top-k. "
+        "Production recipe: trained codebook + exact re-rank of top ADC "
+        "candidates; the operator pins the join/broadcast shape.",
+    ]
 
     lines += [
         "",
