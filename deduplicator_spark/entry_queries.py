@@ -1077,6 +1077,21 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivfpq(emb, EMB_DIM)
 
 
+IVFPQ_RERANK = 32  # top-32 ADC candidates refined by exact cosine
+
+
+def q_ann_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + refine: the quantized-code scan prunes the corpus, then the
+    top-R ADC candidates per query are re-ranked by EXACT cosine — the
+    standard production recipe that restores monotone recall in nprobe
+    (BENCH/ANN_RECALL.md) while exact math touches only O(queries * R)
+    vectors."""
+    from .operators.ann import ann_topk_ivfpq
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_topk_ivfpq(emb, EMB_DIM, rerank=IVFPQ_RERANK)
+
+
 NEARDUP_COS_T = 0.35  # driver embeddings are random; 0.35 yields a few
                       # hundred genuine pairs at sf0.01 to exercise the join
 
@@ -1819,6 +1834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "ann_topk_ivfpq_rerank": q_ann_topk_ivfpq_rerank,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "phash_neardup_pairs": q_phash_neardup_pairs,
@@ -2147,6 +2163,12 @@ def _ivfpq_oracle() -> str:
     return ann_ivfpq_oracle_sql(dim=EMB_DIM)
 
 
+def _ivfpq_rerank_oracle() -> str:
+    from .operators.ann import ann_ivfpq_oracle_sql
+
+    return ann_ivfpq_oracle_sql(dim=EMB_DIM, rerank=IVFPQ_RERANK)
+
+
 ORACLES["phash_neardup_pairs"] = f"""
 WITH ph AS (
   SELECT doc_id, {synth_phash_sql('duckdb', 'doc_id')} AS phash FROM documents
@@ -2278,6 +2300,7 @@ SELECT id_a, id_b, round(score, 6) AS score FROM scored WHERE score >= 0.5
 ORACLES["ann_topk_lsh"] = _ann_oracle()
 ORACLES["ann_topk_ivf"] = _ivf_oracle()
 ORACLES["ann_topk_ivfpq"] = _ivfpq_oracle()
+ORACLES["ann_topk_ivfpq_rerank"] = _ivfpq_rerank_oracle()
 ORACLES["embedding_neardup_pairs"] = _neardup_oracle()
 
 

@@ -426,8 +426,13 @@ IVFPQ_KSUB = 16  # codebook entries per subspace
 def ann_topk_ivfpq(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
                    nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
                    nsub: int = IVFPQ_NSUB, ksub: int = IVFPQ_KSUB,
+                   rerank: int = 0,
                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF-PQ approximate top-k: (query_id, neighbor_id, rank, adist).
+    """IVF-PQ approximate top-k: (query_id, neighbor_id, rank, adist) — or,
+    with ``rerank=R > 0``, the refine variant (query_id, neighbor_id, rank,
+    cos): the top-R candidates per query by quantized ADC distance are
+    re-ranked by EXACT cosine (the standard IVF-PQ+refine recipe; exact math
+    touches only O(n_queries * R) vectors, never the corpus).
 
     Why this exists at 10^12 scale: IVF-flat ships FULL vectors (2 KB of
     floats for a 512-d embedding) through the candidate join; IVF-PQ ships
@@ -510,20 +515,57 @@ def ann_topk_ivfpq(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
              .agg(F.sum("part").alias("adist")))
     wq = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
                                                 F.col("neighbor_id").asc())
-    return (adist.withColumn("rank", F.row_number().over(wq))
+    if rerank <= 0:
+        return (adist.withColumn("rank", F.row_number().over(wq))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("rank").cast("long").alias("rank"),
+                        F.col("adist").cast("long").alias("adist")))
+
+    # refine: exact cosine over ONLY the top-`rerank` ADC candidates per
+    # query — the standard IVF-PQ+refine recipe (quantized scan prunes the
+    # corpus, exact math touches O(n_queries * rerank) vectors). This makes
+    # recall monotone in nprobe again (raw ADC ranking is not: coarse
+    # distances of extra probed lists can spuriously beat true neighbors).
+    top_r = (adist.withColumn("_rr", F.row_number().over(wq))
+             .filter(F.col("_rr") <= rerank).select("query_id", "neighbor_id"))
+    ev = emb.select(id_col,
+                    F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    cand = (top_r
+            .join(ev.select(F.col(id_col).alias("query_id"),
+                            F.col("v").alias("qv")), "query_id")
+            .join(ev.select(F.col(id_col).alias("neighbor_id"),
+                            F.col("v").alias("nv")), "neighbor_id"))
+    dot = F.aggregate(F.zip_with("qv", "nv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    out = cand.select("query_id", "neighbor_id",
+                      (dot / (norm(F.col("qv")) * norm(F.col("nv")))).alias("cos"))
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                F.col("neighbor_id").asc())
+    return (out.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("long").alias("rank"),
-                    F.col("adist").cast("long").alias("adist")))
+                    F.round("cos", 6).alias("cos")))
 
 
 def ann_ivfpq_oracle_sql(dim: int, k: int = 5, n_queries: int = 20,
                          nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
-                         nsub: int = IVFPQ_NSUB, ksub: int = IVFPQ_KSUB) -> str:
+                         nsub: int = IVFPQ_NSUB, ksub: int = IVFPQ_KSUB,
+                         rerank: int = 0) -> str:
     """DuckDB twin of ann_topk_ivfpq — same data-derived centroids/codebooks,
-    same int64 residual/ADC arithmetic, so values hash-match exactly."""
+    same int64 residual/ADC arithmetic (and, with rerank>0, the same exact
+    double-cosine refine), so values hash-match exactly."""
     sub = dim // nsub
     subs = ", ".join(f"({j}, {j * sub + 1}, {(j + 1) * sub})" for j in range(nsub))
+    if rerank > 0:
+        final = _IVFPQ_RERANK_FINAL.format(rerank=rerank, k=k)
+        comma = ","
+    else:
+        final = _IVFPQ_RAW_FINAL.format(k=k)
+        comma = ""
     return f"""
 WITH eq AS (
   SELECT vec_id,
@@ -589,10 +631,34 @@ adist AS (
   FROM db_codes d JOIN lut l USING (cid, j, code_id)
   WHERE d.neighbor_id <> l.query_id
   GROUP BY 1, 2
-)
-SELECT query_id, neighbor_id, rank, adist FROM (
+){comma}
+{final}
+"""
+
+_IVFPQ_RAW_FINAL = """SELECT query_id, neighbor_id, rank, adist FROM (
   SELECT query_id, neighbor_id, adist,
          row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
   FROM adist
-) WHERE rank <= {k}
-"""
+) WHERE rank <= {k}"""
+
+_IVFPQ_RERANK_FINAL = """topr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rr
+    FROM adist
+  ) WHERE rr <= {rerank}
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rescored AS (
+  SELECT t.query_id, t.neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+  FROM topr t
+  JOIN ev q ON q.vec_id = t.query_id
+  JOIN ev n ON n.vec_id = t.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= {k}"""

@@ -140,3 +140,28 @@ def test_ann_ivfpq_partitioning_invariant(spark):
     b = sorted(map(tuple, ann_topk_ivfpq(emb.repartition(17), dim=32, k=3,
                                          n_queries=8).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ann_ivfpq_rerank_restores_recall(spark):
+    """The refine step (exact cosine over top-R ADC candidates) repairs the
+    non-monotone-recall failure mode of raw ADC ranking at high nprobe
+    (BENCH/ANN_RECALL.md): with rerank on, recall at nprobe=8 is at least as
+    good as at nprobe=4, and high in absolute terms."""
+    from deduplicator_spark.operators.ann import ann_topk_ivfpq
+
+    emb, copy_of = _clustered_embeddings(spark)
+    truth = {b: {v for v, bb in copy_of.items() if bb == b} for b in range(20)}
+    total = sum(len(t) for t in truth.values())
+
+    def recall(nprobe):
+        out = ann_topk_ivfpq(emb, dim=32, k=4, n_queries=20, nlist=16,
+                             nprobe=nprobe, nsub=4, ksub=16,
+                             rerank=24).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+            assert -1.0 <= r["cos"] <= 1.0
+        return sum(len(set(by_q.get(q, [])) & t) for q, t in truth.items()) / total
+
+    r4, r8 = recall(4), recall(8)
+    assert r8 >= r4 >= 0.9, f"rerank recall nprobe4={r4:.3f} nprobe8={r8:.3f}"
