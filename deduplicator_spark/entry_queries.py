@@ -893,6 +893,37 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TOKEN_BUDGET = 2000  # per-language token budget for the training mix
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix builder — the data-mixing verb a curation pipeline ends
+    with: per language, rank documents by quality (type-token ratio desc,
+    doc_id tie-break) and admit greedily until a cumulative token budget.
+    One window cumulative sum per language partition — at 10^12 rows the
+    shuffle is one hash exchange on lang (or a range partition per language
+    shard); no driver-side loop, no collect. Output keeps EVERY gated doc
+    with its running total and a selected flag so downstream can re-cut at
+    a different budget without recomputing."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    scored = t.select(
+        "doc_id", "lang",
+        F.size("t").cast("long").alias("n_tok"),
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("ttr"),
+    ).filter(F.col("n_tok") >= 20)
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("ttr").desc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tok").over(w))
+    return ranked.select(
+        "doc_id", "lang", "n_tok",
+        F.round("ttr", 6).alias("ttr"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        (F.col("cum_tokens") <= MIX_TOKEN_BUDGET).cast("int").alias("selected"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per language (training-data telemetry)."""
     docs = load(spark, sf_dir, "documents")
@@ -1826,6 +1857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_passages": q_repeated_passages,
     "repeated_coverage": q_repeated_coverage,
     "doc_fingerprint": q_doc_fingerprint,
+    "training_mix": q_training_mix,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "quality_scores": q_quality_scores,
@@ -2099,6 +2131,25 @@ SELECT lang, count(*) AS n_docs,
   CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}'))) AS BIGINT) AS total_bpe_tokens,
   round(avg(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}'))), 6) AS avg_bpe_tokens
 FROM documents GROUP BY lang
+""",
+    "training_mix": f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+  FROM t WHERE len(toks) >= 20
+),
+ranked AS (
+  SELECT doc_id, lang, n_tok, ttr,
+         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY ttr DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, n_tok, round(ttr, 6) AS ttr, cum_tokens,
+       CAST(cum_tokens <= {MIX_TOKEN_BUDGET} AS INT) AS selected
+FROM ranked
 """,
     "quality_scores": """
 WITH t AS (
