@@ -1510,11 +1510,43 @@ sh AS (SELECT item_id, ({fold}) AS simhash FROM bits),
 s AS (
   SELECT aug.item_id, coalesce(sh.simhash, 0) AS simhash
   FROM aug LEFT JOIN sh ON sh.item_id = aug.item_id
+),
+banded AS (
+  -- same 4 x 16-bit pigeonhole bands as functions/hashing.phash_band_keys
+  -- (the 60-bit md5 simhash is non-negative, so >> is a logical shift)
+  SELECT item_id, simhash, b, (simhash >> (b * 16)) & 65535 AS key
+  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t
+),
+buckets AS (
+  SELECT b, key, count(*) AS n, min(item_id) AS mn
+  FROM banded GROUP BY 1, 2
+),
+-- mirror candidate_pairs_from_bands: buckets <= hot_band_threshold emit
+-- all pairs; bigger (boilerplate) buckets fall back to star edges around
+-- the bucket minimum — the documented bounded-emission semantics (CC
+-- restores full clusters), now oracle-exact at EVERY scale, not only
+-- while buckets stay under the cap
+cands AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT x.item_id AS id_a, y.item_id AS id_b
+    FROM banded x
+    JOIN banded y ON x.b = y.b AND x.key = y.key AND x.item_id < y.item_id
+    JOIN buckets k ON k.b = x.b AND k.key = x.key
+      AND k.n <= {DEFAULT.hot_band_threshold}
+    UNION ALL
+    SELECT k.mn AS id_a, x.item_id AS id_b
+    FROM banded x
+    JOIN buckets k ON k.b = x.b AND k.key = x.key
+      AND k.n > {DEFAULT.hot_band_threshold}
+    WHERE x.item_id <> k.mn
+  )
 )
-SELECT a.item_id AS id_a, b.item_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM s a JOIN s b ON a.item_id < b.item_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {DEFAULT.phash_max_hamming}
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cands c
+JOIN s sa ON sa.item_id = c.id_a
+JOIN s sb ON sb.item_id = c.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {DEFAULT.phash_max_hamming}
 """
 
 
