@@ -2252,13 +2252,39 @@ def _ivfpq_rerank_oracle() -> str:
     return ann_ivfpq_oracle_sql(dim=EMB_DIM, rerank=IVFPQ_RERANK)
 
 
+# Mirrors the tier's banding + hot-bucket star fallback exactly (same
+# template as the simhash oracle), so parity holds at any scale — not only
+# while planted buckets stay under the cap. The synth phash is 60-bit
+# non-negative, so plain >> is a logical shift.
 ORACLES["phash_neardup_pairs"] = f"""
 WITH ph AS (
   SELECT doc_id, {synth_phash_sql('duckdb', 'doc_id')} AS phash FROM documents
+),
+banded AS (
+  SELECT doc_id, phash, b, (phash >> (b * 16)) & 65535 AS key
+  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t
+),
+buckets AS (
+  SELECT b, key, count(*) AS n, min(doc_id) AS mn FROM banded GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM banded x
+    JOIN banded y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+    JOIN buckets k ON k.b = x.b AND k.key = x.key
+      AND k.n <= {DEFAULT.hot_band_threshold}
+    UNION ALL
+    SELECT k.mn AS id_a, x.doc_id AS id_b
+    FROM banded x
+    JOIN buckets k ON k.b = x.b AND k.key = x.key
+      AND k.n > {DEFAULT.hot_band_threshold}
+    WHERE x.doc_id <> k.mn
+  )
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT c.id_a, c.id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+FROM cands c JOIN ph a ON a.doc_id = c.id_a JOIN ph b ON b.doc_id = c.id_b
 WHERE bit_count(xor(a.phash, b.phash)) <= {DEFAULT.phash_max_hamming}
 """
 
