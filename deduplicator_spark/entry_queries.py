@@ -428,6 +428,28 @@ FROM documents LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = do
 """
 
 
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-savings report: histogram of near-dup cluster sizes plus the
+    rows a keep-one-per-cluster policy would drop — the cluster-level form
+    of the reference's duplicate/novel totals (A1/A2). One groupBy over the
+    CC output, then a bounded groupBy over sizes; the expensive parts (LSH
+    tier, components) are shared with q_dedup_clusters via the persisted
+    tier."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    cc = connected_components(
+        canonical_pairs(pairs.select("id_a", "id_b")),
+        nodes=docs.select(F.format_string("%012d", "doc_id").alias("image_id")),
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (sizes.groupBy("sz")
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("sz").alias("n_docs"),
+                 F.sum(F.col("sz") - 1).alias("dropped_by_keep_one"))
+            .select(F.col("sz").cast("long").alias("cluster_size"),
+                    "n_clusters", "n_docs", "dropped_by_keep_one"))
+
+
 def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data keep rule: per near-dup cluster keep ONE representative,
     the member with the most tokens (tiebreak: smallest doc_id) — the
@@ -1882,6 +1904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "cluster_stats": q_cluster_stats,
     "cluster_keep_best": q_cluster_keep_best,
     "ngram_decontaminate": q_ngram_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2140,6 +2163,14 @@ FROM documents
     "prefix_jaccard_pairs": _JACCARD_PAIRS_SQL,
     "containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
+    "cluster_stats": f"""
+WITH cc AS ({_CLUSTERS_SQL}),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY cluster_id)
+SELECT sz AS cluster_size, count(*) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS dropped_by_keep_one
+FROM sizes GROUP BY sz
+""",
     "cluster_keep_best": _KEEP_BEST_SQL,
     "ngram_decontaminate": _DECONTAMINATE_SQL,
     "repetition_stats": _REPETITION_SQL,
