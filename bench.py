@@ -111,21 +111,31 @@ def main() -> None:
         timings[name] = sec
 
     total = round(sum(timings.values()), 3)
+    # Raw per-run timings + load traces go to a sidecar: the driver records
+    # only a 2,000-char output tail, so the primary line must stay compact
+    # (round-3 lesson: the full-detail line outgrew the tail and parsed null).
+    sidecar = {
+        "runs": runs,
+        "load": {"start": load_start, "end": load1(), "per_run": run_loads},
+        "warm_runs": warm,
+        "n_queries": len(qs),
+        "n_oracled": n_oracled,
+        "sf": sf,
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as fh:
+        json.dump(sidecar, fh, indent=1)
     print(json.dumps({
-        "metric": f"total runtime (best of {warm} warm runs per query): "
-                  f"{len(qs)} driver-contract queries ({n_oracled} DuckDB-oracled) + "
-                  "end-to-end image dedup pipeline (fused validate/digest pass + "
-                  "4-tier cascade + PSNR verify + CC clustering)",
+        "metric": f"best-of-{warm}-warm total: {len(qs)} queries "
+                  f"({n_oracled} oracled) + e2e image dedup pipeline",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "pipeline": pipeline,
         "cores": spark.sparkContext.defaultParallelism,
-        "warm_runs": warm,
-        "runs": runs,
-        "load": {"start": load_start, "end": load1(), "per_run": run_loads},
-    }))
+    }, separators=(",", ":")))
     spark.stop()
 
 

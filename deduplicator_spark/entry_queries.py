@@ -2371,9 +2371,35 @@ ex AS (
   FROM dig a JOIN dig b ON a.digest = b.digest AND a.doc_id < b.doc_id
 ),
 ph AS (SELECT doc_id, {synth_phash_sql('duck')} AS phash FROM documents),
+-- near_image mirrors the tier's banding + hot-bucket star fallback (the
+-- buckets/cands cap-and-star template from ORACLES['phash_neardup_pairs'])
+-- so parity holds at any scale, not only while every band bucket stays
+-- under hot_band_threshold
+phb AS (
+  SELECT doc_id, phash, b, (phash >> (b * 16)) & 65535 AS key
+  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t
+),
+phk AS (
+  SELECT b, key, count(*) AS n, min(doc_id) AS mn FROM phb GROUP BY 1, 2
+),
+nic AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM phb x
+    JOIN phb y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+    JOIN phk k ON k.b = x.b AND k.key = x.key
+      AND k.n <= {DEFAULT.hot_band_threshold}
+    UNION ALL
+    SELECT k.mn AS id_a, x.doc_id AS id_b
+    FROM phb x
+    JOIN phk k ON k.b = x.b AND k.key = x.key
+      AND k.n > {DEFAULT.hot_band_threshold}
+    WHERE x.doc_id <> k.mn
+  )
+),
 ni AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+  SELECT c.id_a, c.id_b
+  FROM nic c JOIN ph a ON a.doc_id = c.id_a JOIN ph b ON b.doc_id = c.id_b
   WHERE bit_count(xor(a.phash, b.phash)) <= {DEFAULT.phash_max_hamming}
 ),
 jp AS ({_JACCARD_PAIRS_SQL}),

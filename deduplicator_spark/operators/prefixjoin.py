@@ -42,8 +42,15 @@ from .minhash import jaccard_verify, prepared_features
 
 
 def prefix_length(n_col, t: float):
-    """p = n - ceil(t*n) + 1, as a Column (n_col = set size)."""
-    return n_col - F.ceil(F.lit(t) * n_col).cast("long") + 1
+    """p = n - ceil(t*n) + 1, as a Column (n_col = set size).
+
+    ceil is computed with a 1e-9 guard band: when the binary double of t*n
+    lands just ABOVE an integer k (true value <= k), plain ceil over-rounds
+    to k+1, shrinking the prefix below the theorem's bound and dropping
+    exactly-at-threshold pairs. Subtracting the epsilon can only ever make
+    the prefix LONGER (more candidates, never fewer), so exactness is
+    preserved in both rounding directions."""
+    return n_col - F.ceil(F.lit(t) * n_col - F.lit(1e-9)).cast("long") + 1
 
 
 def prefix_filtered_pairs(items: DataFrame, t: float = 0.8,

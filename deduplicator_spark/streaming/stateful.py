@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -31,37 +32,65 @@ STATE_SCHEMA = "n long, first_id string, first_ts long"
 
 _US = 1_000_000  # state timestamps are epoch-microseconds (long)
 
+_DUR_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
+           "hour": 3_600_000, "day": 86_400_000}
 
-def _update_digest_stats(key, pdfs: Iterator[pd.DataFrame],
-                         state: GroupState) -> Iterator[pd.DataFrame]:
-    (digest,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, first_id, first_us = state.get if state.exists else (0, None, None)
-    for pdf in pdfs:
-        for ts, rid in zip(pdf["ts"], pdf["record_id"]):
-            us = int(ts.value // 1000)  # pandas Timestamp ns -> us
-            # deterministic first-capture rule: earliest ts, record_id
-            # tie-break (the reference's scan-order determinism, O10)
-            if first_id is None or (us, rid) < (first_us, first_id):
-                first_id, first_us = rid, us
-            n += 1
-    state.update((n, first_id, first_us))
-    yield pd.DataFrame([{
-        "digest": digest,
-        "n_seen": n,
-        "n_dups": max(n - 1, 0),
-        "first_record_id": first_id,
-        "first_ts": pd.Timestamp(first_us * 1000),
-    }])
+
+def _duration_ms(spec: str) -> int:
+    """Parse a Spark duration string ('2 hours', '30 minutes') to ms."""
+    n, unit = spec.strip().split()
+    return int(n) * _DUR_MS[unit.rstrip("s").lower()]
+
+
+def _arm_timeout(state: GroupState, batch_max_event_ms: int,
+                 horizon_ms: int) -> None:
+    """EventTimeTimeout requires the update fn to RE-ARM the timeout on
+    every invocation; without it state never times out and the state store
+    grows without bound. Evict once the watermark passes the bucket's last
+    activity plus the horizon (strictly > current watermark by
+    construction, as the API demands)."""
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(batch_max_event_ms, wm) + horizon_ms)
+
+
+def _update_digest_stats(horizon_ms: int):
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (digest,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, first_id, first_us = state.get if state.exists else (0, None, None)
+        max_us = 0
+        for pdf in pdfs:
+            for ts, rid in zip(pdf["ts"], pdf["record_id"]):
+                us = int(ts.value // 1000)  # pandas Timestamp ns -> us
+                max_us = max(max_us, us)
+                # deterministic first-capture rule: earliest ts, record_id
+                # tie-break (the reference's scan-order determinism, O10)
+                if first_id is None or (us, rid) < (first_us, first_id):
+                    first_id, first_us = rid, us
+                n += 1
+        state.update((n, first_id, first_us))
+        _arm_timeout(state, max_us // 1000, horizon_ms)
+        yield pd.DataFrame([{
+            "digest": digest,
+            "n_seen": n,
+            "n_dups": max(n - 1, 0),
+            "first_record_id": first_id,
+            "first_ts": pd.Timestamp(first_us * 1000),
+        }])
+
+    return update
 
 
 def streaming_dup_stats(captures: DataFrame, watermark: str = "2 hours",
                         ts_col: str = "ts") -> DataFrame:
     """(digest, n_seen, n_dups, first_record_id, first_ts), re-emitted per
     micro-batch with running totals — the incremental form of the per-class
-    duplicate counters (A1/A2), keyed by digest."""
+    duplicate counters (A1/A2), keyed by digest. Digests idle for one
+    watermark horizon past their last arrival are evicted (timeout re-armed
+    on every update, as EventTimeTimeout requires)."""
     from pyspark.sql import functions as F
 
     captures = captures.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -69,7 +98,7 @@ def streaming_dup_stats(captures: DataFrame, watermark: str = "2 hours",
         captures.withWatermark(ts_col, watermark)
         .groupBy("digest")
         .applyInPandasWithState(
-            _update_digest_stats,
+            _update_digest_stats(_duration_ms(watermark)),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
@@ -83,11 +112,26 @@ def streaming_dup_stats(captures: DataFrame, watermark: str = "2 hours",
 # --------------------------------------------------------------------------
 
 NEARDUP_OUTPUT_SCHEMA = ("image_id string, ts timestamp, band int, key long, "
-                         "ref_id string, hamming int")
+                         "ref_id string, hamming int, capped boolean")
 NEARDUP_STATE_SCHEMA = "ids array<string>, hashes array<long>"
 
+_U64 = np.uint64
+_M1 = _U64(0x5555555555555555)
+_M2 = _U64(0x3333333333333333)
+_M4 = _U64(0x0F0F0F0F0F0F0F0F)
+_H01 = _U64(0x0101010101010101)
+_MASK64 = (1 << 64) - 1
 
-def _update_band_bucket(max_hamming: int, bucket_cap: int):
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — numpy<2 has no bitwise_count."""
+    x = x - ((x >> _U64(1)) & _M1)
+    x = (x & _M2) + ((x >> _U64(2)) & _M2)
+    x = (x + (x >> _U64(4))) & _M4
+    return (x * _H01) >> _U64(56)
+
+
+def _update_band_bucket(max_hamming: int, bucket_cap: int, horizon_ms: int):
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         band, bkey = key
@@ -95,26 +139,47 @@ def _update_band_bucket(max_hamming: int, bucket_cap: int):
             state.remove()
             return
         ids, hashes = state.get if state.exists else ((), ())
-        ids, hashes = list(ids), list(hashes)
+        ids = list(ids)
+        # fixed-capacity uint64 scratch: the stored prefix [0:n) is live.
+        # Matching is one vectorized XOR+popcount over it per arriving row
+        # (<= bucket_cap lanes) instead of a per-member Python loop.
+        harr = np.zeros(bucket_cap, dtype=_U64)
+        n = len(ids)
+        harr[:n] = np.array([h & _MASK64 for h in hashes], dtype=_U64)
         out = []
+        max_us = 0
         frames = [p for p in pdfs if len(p)]
         if frames:
             # deterministic replay order inside the micro-batch (O10)
             pdf = pd.concat(frames).sort_values(["ts", "image_id"])
             for iid, ph, ts in zip(pdf["image_id"], pdf["phash"], pdf["ts"]):
+                max_us = max(max_us, int(ts.value // 1000))
                 ref = ham = None
-                for mid, mh in zip(ids, hashes):
-                    h = bin(int(ph) ^ mh).count("1")
-                    if h <= max_hamming:
-                        ref, ham = mid, h  # first-inserted agreeing member
-                        break
-                if ref is None and len(ids) < bucket_cap:
-                    ids.append(iid)
-                    hashes.append(int(ph))
-                out.append((iid, ts, band, bkey, ref, ham))
-        state.update((ids, hashes))
+                u = _U64(int(ph) & _MASK64)
+                d = _popcount64(harr[:n] ^ u)
+                hits = np.nonzero(d <= max_hamming)[0]
+                if hits.size:
+                    j = int(hits[0])  # first-inserted agreeing member
+                    ref, ham = ids[j], int(d[j])
+                capped = False
+                if ref is None:
+                    if n < bucket_cap:
+                        ids.append(iid)
+                        harr[n] = u
+                        n += 1
+                    else:
+                        # full bucket: the row is reported unmatched but NOT
+                        # tracked — later true dups of it will miss in this
+                        # band. Surfaced so callers can tell 'novel' from
+                        # 'bucket full' instead of silently losing recall.
+                        capped = True
+                out.append((iid, ts, band, bkey, ref, ham, capped))
+        state.update((ids, [int(v) - (1 << 64) if v >= (1 << 63) else int(v)
+                            for v in harr[:n]]))
+        _arm_timeout(state, max_us // 1000, horizon_ms)
         yield pd.DataFrame(
-            out, columns=["image_id", "ts", "band", "key", "ref_id", "hamming"])
+            out, columns=["image_id", "ts", "band", "key", "ref_id",
+                          "hamming", "capped"])
 
     return update
 
@@ -133,16 +198,23 @@ def streaming_neardup_dedup(images: DataFrame, cfg=None, bucket_cap: int = 64,
     tier, the stream is keyed by (band, key), and applyInPandasWithState
     keeps each bucket's first-seen members (ids + hashes, deterministically
     capped at ``bucket_cap``). An arriving image emits one row per band:
-    ref_id = the first-inserted member within Hamming <= max_hamming (NULL
-    -> it becomes a member itself). A duplicate is any image with >= 1
-    agreeing band (recall-1 for Hamming <= bands-1 by pigeonhole, same
-    guarantee as the batch tier).
+    ref_id = the first-inserted member within Hamming <= max_hamming. NULL
+    ref_id means unmatched: if the bucket has room the image becomes a
+    member itself; if the bucket is already at ``bucket_cap`` the row is
+    emitted with capped=true and is NOT tracked, so later true duplicates
+    of it will miss in this band — the cap trades that bounded recall loss
+    for bounded state, and the marker lets callers route capped rows to a
+    batch-tier sweep instead of trusting 'novel'. A duplicate is any image
+    with >= 1 agreeing band (recall-1 for Hamming <= bands-1 by pigeonhole
+    while buckets are under the cap, same guarantee as the batch tier).
 
-    Scale: state per (band, key) bucket is <= bucket_cap (id, hash) pairs,
-    and the number of live buckets is bounded by the watermark horizon's
-    distinct band keys — the same state bound as streaming_exact_dedup.
-    The per-group inner loop is a bounded scan of <= bucket_cap stored
-    hashes per arriving row, Arrow-batched per micro-batch.
+    Scale: state per (band, key) bucket is <= bucket_cap (id, hash) pairs;
+    buckets idle for one watermark horizon past their last arrival are
+    evicted via EventTimeTimeout (the update fn re-arms the timeout every
+    invocation), so the live state is bounded by the horizon's distinct
+    band keys — the same bound as streaming_exact_dedup. The per-row match
+    is one vectorized numpy XOR+popcount over <= bucket_cap stored hashes,
+    Arrow-batched per micro-batch.
     """
     from ..config import DEFAULT
     from ..functions.hashing import phash_band_keys
@@ -159,7 +231,8 @@ def streaming_neardup_dedup(images: DataFrame, cfg=None, bucket_cap: int = 64,
         banded.withWatermark("ts", watermark)
         .groupBy("band", "key")
         .applyInPandasWithState(
-            _update_band_bucket(cfg.phash_max_hamming, bucket_cap),
+            _update_band_bucket(cfg.phash_max_hamming, bucket_cap,
+                                _duration_ms(watermark)),
             outputStructType=NEARDUP_OUTPUT_SCHEMA,
             stateStructType=NEARDUP_STATE_SCHEMA,
             outputMode="append",
