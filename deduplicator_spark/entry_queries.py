@@ -2490,3 +2490,141 @@ LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = vec_id
 
 
 ORACLES["embedding_dedup_keep"] = _embedding_dedup_keep_oracle()
+
+
+def _image_dedup_verdicts_oracle() -> str:
+    """DuckDB twin of the FLAGSHIP q_image_dedup_verdicts over the
+    materialized synth feature fixtures (oracle_fixtures.py): the codec layer
+    (pixel decode, sha256, pHash, PSNR, shingle/MinHash hashing) is
+    re-derived single-process from the same pure (row id, seed) functions the
+    executors run and pinned to parquet; EVERYTHING downstream — quarantine
+    gate, exact star edges, capped/star banded candidates for BOTH hash
+    tiers, Hamming + PSNR + exact-Jaccard + containment verification,
+    tier-priority edge dedup, recursive-CTE connected components and the
+    verdict/dup_class/refers_to assembly of DeDuplicator.java:149-205 — runs
+    in SQL, so the real pipeline's distributed graph is hash-verified
+    cross-engine. Config mirrored from the frozen DedupConfig."""
+    from .oracle_fixtures import ensure_image_oracle_fixtures
+
+    feats, psnr = ensure_image_oracle_fixtures()
+    cap = DEFAULT.hot_band_threshold
+    jacc = (
+        "CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS DOUBLE)"
+        " / greatest(len(a.sh_hashes) + len(b.sh_hashes)"
+        " - len(list_intersect(a.sh_hashes, b.sh_hashes)), 1)"
+    )
+    return f"""
+WITH RECURSIVE
+f AS (
+  SELECT * FROM read_parquet('{feats}')
+  WHERE decode_ok
+    AND bit_count(xor(phash, phash_recomputed)) <= {DEFAULT.phash_validate_max_hamming}
+),
+dg AS (SELECT digest, min(image_id) AS hub FROM f GROUP BY digest),
+ex AS (
+  SELECT g.hub AS id_a, x.image_id AS id_b
+  FROM f x JOIN dg g ON g.digest = x.digest
+  WHERE x.image_id <> g.hub
+),
+phb AS (
+  SELECT image_id, phash, b, (phash >> (b * 16)) & 65535 AS key
+  FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t
+),
+phk AS (SELECT b, key, count(*) AS n, min(image_id) AS mn FROM phb GROUP BY 1, 2),
+nic AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT x.image_id AS id_a, y.image_id AS id_b
+    FROM phb x
+    JOIN phb y ON x.b = y.b AND x.key = y.key AND x.image_id < y.image_id
+    JOIN phk k ON k.b = x.b AND k.key = x.key AND k.n <= {cap}
+    UNION ALL
+    SELECT k.mn, x.image_id
+    FROM phb x JOIN phk k ON k.b = x.b AND k.key = x.key AND k.n > {cap}
+    WHERE x.image_id <> k.mn
+  )
+),
+pp AS (SELECT id_a, id_b FROM read_parquet('{psnr}') WHERE psnr_ok),
+ni AS (
+  SELECT c.id_a, c.id_b
+  FROM nic c
+  JOIN f a ON a.image_id = c.id_a
+  JOIN f b ON b.image_id = c.id_b
+  JOIN pp ON pp.id_a = c.id_a AND pp.id_b = c.id_b
+  WHERE bit_count(xor(a.phash, b.phash)) <= {DEFAULT.phash_max_hamming}
+),
+cb AS (
+  SELECT image_id, b, band_keys[b + 1] AS key
+  FROM f CROSS JOIN (SELECT unnest(range({DEFAULT.lsh_bands})) AS b) t
+),
+cbk AS (SELECT b, key, count(*) AS n, min(image_id) AS mn FROM cb GROUP BY 1, 2),
+ncc AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT x.image_id AS id_a, y.image_id AS id_b
+    FROM cb x
+    JOIN cb y ON x.b = y.b AND x.key = y.key AND x.image_id < y.image_id
+    JOIN cbk k ON k.b = x.b AND k.key = x.key AND k.n <= {cap}
+    UNION ALL
+    SELECT k.mn, x.image_id
+    FROM cb x JOIN cbk k ON k.b = x.b AND k.key = x.key AND k.n > {cap}
+    WHERE x.image_id <> k.mn
+  )
+),
+nc AS (
+  SELECT c.id_a, c.id_b
+  FROM ncc c JOIN f a ON a.image_id = c.id_a JOIN f b ON b.image_id = c.id_b
+  WHERE {jacc} >= {DEFAULT.jaccard_threshold}
+),
+shrt AS (SELECT image_id, sh_hashes FROM f
+         WHERE n_tok <= {DEFAULT.containment_max_short_tokens}),
+lng AS (SELECT image_id, sh_hashes FROM f
+        WHERE n_tok >= {DEFAULT.containment_min_long_tokens}),
+probe AS (SELECT image_id AS id_s, unnest(sh_hashes[1:4]) AS hash FROM shrt),
+post AS (
+  SELECT id_l, hash FROM (
+    SELECT image_id AS id_l, unnest(sh_hashes) AS hash FROM lng
+  ) QUALIFY row_number() OVER (PARTITION BY hash ORDER BY id_l)
+            <= {DEFAULT.containment_posting_cap}
+),
+ccand AS (SELECT DISTINCT id_s, id_l FROM probe JOIN post USING (hash)),
+cont AS (
+  SELECT least(c.id_s, c.id_l) AS id_a, greatest(c.id_s, c.id_l) AS id_b
+  FROM ccand c
+  JOIN shrt a ON a.image_id = c.id_s
+  JOIN lng b ON b.image_id = c.id_l
+  WHERE c.id_s <> c.id_l
+    AND CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS DOUBLE)
+        / greatest(len(a.sh_hashes), 1) >= {DEFAULT.containment_threshold}
+),
+tier_edges AS (
+  SELECT id_a, id_b, 'exact' AS tier, 1 AS p FROM ex
+  UNION ALL SELECT id_a, id_b, 'near_image', 2 FROM ni
+  UNION ALL SELECT id_a, id_b, 'near_caption', 3 FROM nc
+  UNION ALL SELECT id_a, id_b, 'containment', 4 FROM cont
+),
+best AS (
+  SELECT id_a, id_b, arg_min(tier, p) AS tier, min(p) AS p
+  FROM tier_edges GROUP BY id_a, id_b
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM best UNION SELECT id_b, id_a FROM best),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s WHERE e2.d <> r.s
+),
+clus AS (
+  SELECT image_id, coalesce(least(image_id, m), image_id) AS cluster_id
+  FROM f LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = image_id
+),
+inc AS (SELECT id_a AS image_id, tier, p FROM best
+        UNION ALL SELECT id_b, tier, p FROM best),
+dc AS (SELECT image_id, arg_min(tier, p) AS dup_class FROM inc GROUP BY image_id)
+SELECT c.image_id,
+  CASE WHEN c.cluster_id = c.image_id THEN 'novel' ELSE 'duplicate' END AS verdict,
+  CASE WHEN c.cluster_id = c.image_id THEN 'none' ELSE dc.dup_class END AS dup_class,
+  c.cluster_id,
+  CASE WHEN c.cluster_id = c.image_id THEN 'none' ELSE c.cluster_id END AS refers_to_id
+FROM clus c LEFT JOIN dc ON dc.image_id = c.image_id
+"""
+
+
+ORACLES["image_dedup_verdicts"] = _image_dedup_verdicts_oracle()
