@@ -544,6 +544,58 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination (plans/curate.eval_contaminated_spans):
+    where ngram_decontaminate drops a whole training doc on any shared eval
+    shingle, this emits the maximal disjoint token spans covered by
+    eval-leaked k-token windows as a per-doc CUT LIST (doc_id%100==0 plays
+    the benchmark), so the document survives with only the leaked passage
+    excised — the span analog of the reference's annotate-don't-drop
+    verdicts (DeDuplicator.java:183-188). Machinery: window_grams positions
+    + gated-broadcast eval-gram join + the ExactSubstr gaps-and-islands
+    merge (operators/passages.spans_from_positions).
+
+    100 TB shape: identical to ngram_decontaminate's — eval grams broadcast,
+    one corpus scan, only matched positions (bounded by the contamination
+    rate) shuffle into the per-doc island merge."""
+    from .plans.curate import eval_contaminated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 100 == 0)
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    return eval_contaminated_spans(train, ev, k=SHINGLE_K).select(
+        "doc_id", "span_start", "span_end", "span_tokens")
+
+
+_EVAL_SPAN_SQL = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         array_to_string(toks[i:i + {SHINGLE_K - 1}], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - {SHINGLE_K - 2})) AS u(i)
+  WHERE len(toks) >= {SHINGLE_K}
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+rep AS (SELECT doc_id, pos FROM g JOIN ev USING (gram) WHERE doc_id % 100 <> 0),
+lagd AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM rep
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - prev <= {SHINGLE_K} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagd
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {SHINGLE_K - 1} AS span_end,
+       max(pos) - min(pos) + {SHINGLE_K} AS span_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition (the Gopher/MassiveText quality-filter
     signal the cross-document tiers can't see): per doc, the fraction of
@@ -1907,6 +1959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_stats": q_cluster_stats,
     "cluster_keep_best": q_cluster_keep_best,
     "ngram_decontaminate": q_ngram_decontaminate,
+    "eval_span_decontaminate": q_eval_span_decontaminate,
     "repetition_stats": q_repetition_stats,
     "curate_corpus": q_curate_corpus,
     "repeated_passages": q_repeated_passages,
@@ -2173,6 +2226,7 @@ FROM sizes GROUP BY sz
 """,
     "cluster_keep_best": _KEEP_BEST_SQL,
     "ngram_decontaminate": _DECONTAMINATE_SQL,
+    "eval_span_decontaminate": _EVAL_SPAN_SQL,
     "repetition_stats": _REPETITION_SQL,
     "curate_corpus": _CURATE_SQL,
     "repeated_passages": _REPEATED_PASSAGES_SQL,

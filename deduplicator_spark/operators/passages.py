@@ -58,28 +58,18 @@ def window_grams(docs: DataFrame, k: int = REPEAT_K,
     )
 
 
-def repeated_passages(docs: DataFrame, k: int = REPEAT_K,
-                      min_count: int = 2,
-                      id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """Maximal repeated spans per document:
-    (doc_id, span_start, span_end, span_tokens), where tokens
-    span_start..span_end (0-based, inclusive) occur verbatim at least
-    ``min_count`` times corpus-wide in windows of ``k`` tokens."""
-    g = window_grams(docs, k, id_col, text_col)
-    hot = (
-        g.groupBy("gram").agg(F.count("*").alias("_c"))
-        .filter(F.col("_c") >= min_count)
-        .select("gram")
-    )
-    rep = g.join(hot, "gram").select(id_col, "pos")
+def spans_from_positions(hits: DataFrame, k: int = REPEAT_K,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Gaps-and-islands merge of matched k-token window START positions into
+    maximal DISJOINT spans: (id, span_start, span_end, span_tokens), tokens
+    span_start..span_end 0-based inclusive. A window at pos covers
+    pos..pos+k-1, so the next window merges iff its start is <= pos + k
+    (overlap or exact adjacency) — disjointness means coverage sums never
+    double-count. Shared by the corpus-repeat pass (repeated_passages) and
+    eval-span decontamination (plans/curate.eval_contaminated_spans)."""
     w = Window.partitionBy(id_col).orderBy("pos")
-    # new island where the coverage gap opens: window at pos covers
-    # pos..pos+k-1, so the next window merges iff its start is <= pos + k
-    # (overlap or exact adjacency) — guarantees output spans are DISJOINT,
-    # so coverage sums never double-count
     new_isl = (F.col("pos") - F.lag("pos").over(w) > k).cast("long")
-    isl = rep.withColumn(
+    isl = hits.withColumn(
         "_grp",
         F.sum(F.coalesce(new_isl, F.lit(1)))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -95,6 +85,24 @@ def repeated_passages(docs: DataFrame, k: int = REPEAT_K,
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def repeated_passages(docs: DataFrame, k: int = REPEAT_K,
+                      min_count: int = 2,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Maximal repeated spans per document:
+    (doc_id, span_start, span_end, span_tokens), where tokens
+    span_start..span_end (0-based, inclusive) occur verbatim at least
+    ``min_count`` times corpus-wide in windows of ``k`` tokens."""
+    g = window_grams(docs, k, id_col, text_col)
+    hot = (
+        g.groupBy("gram").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    rep = g.join(hot, "gram").select(id_col, "pos")
+    return spans_from_positions(rep, k, id_col)
 
 
 def repeated_token_fraction(docs: DataFrame, k: int = REPEAT_K,

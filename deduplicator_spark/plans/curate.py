@@ -74,11 +74,32 @@ def quality_reason(tok_col) -> F.Column:
     )
 
 
+# Broadcast guard: eval sets are KBs and contamination rates are small in
+# every realistic regime, but nothing enforced that — a pathological eval
+# set would silently blow past Spark's broadcast memory. Sets up to this
+# many rows broadcast (well under the 8 GB hard limit at ~100 B/row);
+# larger ones fall back to a shuffle join with identical semantics.
+MAX_BROADCAST_ROWS = 4_000_000
+
+
+def _gated_broadcast(df: DataFrame, max_rows: int = MAX_BROADCAST_ROWS,
+                     persist: bool = False) -> DataFrame:
+    """Broadcast ``df`` only when its cardinality is known-small; above the
+    bound, return it unhinted so the join shuffles. The count is an extra
+    action, so callers pass persist=True when df's lineage is expensive
+    (the persisted frame is what both the count and the join consume)."""
+    if persist:
+        df = df.persist()
+    return F.broadcast(df) if df.count() <= max_rows else df
+
+
 def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
-                     cfg: DedupConfig = DEFAULT) -> DataFrame:
+                     cfg: DedupConfig = DEFAULT,
+                     max_broadcast_rows: int = MAX_BROADCAST_ROWS) -> DataFrame:
     """doc_ids sharing ANY k-token shingle with the eval set (GPT-3-style
-    n-gram decontamination). Eval shingles are broadcast — one corpus scan,
-    no shuffle; output is DISTINCT ids, bounded by the contamination rate."""
+    n-gram decontamination). Eval shingles broadcast when they fit
+    (_gated_broadcast) — one corpus scan, no shuffle; output is DISTINCT
+    ids, bounded by the contamination rate."""
     ev = (
         eval_docs.select(
             F.explode(shingles(tokens(F.col("text")), cfg.shingle_k))
@@ -89,16 +110,79 @@ def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
         docs.select("doc_id",
                     F.explode(shingles(tokens(F.col("text")), cfg.shingle_k))
                     .alias("shingle"))
-        .join(F.broadcast(ev), "shingle")
+        .join(_gated_broadcast(ev, max_broadcast_rows), "shingle")
         .select("doc_id")
         .distinct()
+    )
+
+
+def eval_contaminated_spans(docs: DataFrame, eval_docs: DataFrame,
+                            cfg: DedupConfig = DEFAULT, k: int | None = None,
+                            max_broadcast_rows: int = MAX_BROADCAST_ROWS,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """SPAN-level decontamination: (doc_id, span_start, span_end,
+    span_tokens) — the maximal disjoint token spans of each training doc
+    covered by k-token windows that also occur in the eval set. Where
+    contaminated_ids drops whole documents, this emits a CUT LIST so the
+    document survives with only the leaked passage excised (excise_spans)
+    — the span analog of the reference's annotate-don't-drop philosophy
+    (DeDuplicator.java:183-188 annotates the capture and proceeds).
+
+    Composition, not construction: window_grams positions every k-window,
+    the (gated-broadcast) eval gram join marks the contaminated starts, and
+    the gaps-and-islands merge (operators/passages.spans_from_positions) is
+    the exact machinery of the ExactSubstr pass. One corpus scan + one
+    bounded per-doc shuffle of matched positions."""
+    from ..operators.passages import spans_from_positions, window_grams
+
+    k = k or cfg.shingle_k
+    ev = window_grams(eval_docs, k, id_col, text_col) \
+        .select("gram").distinct()
+    hits = (
+        window_grams(docs, k, id_col, text_col)
+        .join(_gated_broadcast(ev, max_broadcast_rows), "gram")
+        .select(id_col, "pos")
+    )
+    return spans_from_positions(hits, k, id_col)
+
+
+def excise_spans(docs: DataFrame, spans: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cut the span tokens out of each document: (id, text) with every token
+    inside a (span_start, span_end) range removed and the survivors
+    re-joined on single spaces; docs with no spans pass through verbatim.
+    Pure Column algebra after one left join of the (tiny) span list — the
+    apply step of eval_contaminated_spans' cut list."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    toks = tokens(F.col(text_col))
+    indexed = F.transform(
+        toks, lambda x, i: F.struct(x.alias("tok"),
+                                    i.cast("long").alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            "_spans",
+            lambda r: (s["i"] >= r["span_start"]) & (s["i"] <= r["span_end"])),
+    )
+    return (
+        docs.join(sp, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_spans").isNull(), F.col(text_col))
+            .otherwise(F.concat_ws(
+                " ", F.transform(kept, lambda s: s["tok"])))
+            .alias(text_col),
+        )
     )
 
 
 def curate_documents(docs: DataFrame, eval_docs: DataFrame,
                      cfg: DedupConfig = DEFAULT,
                      jaccard_t: float = 0.8,
-                     observation=None) -> DataFrame:
+                     observation=None,
+                     max_broadcast_rows: int = MAX_BROADCAST_ROWS) -> DataFrame:
     """Curate (doc_id:long, text:string) against a held-out eval set.
 
     Returns one row per input document:
@@ -111,9 +195,13 @@ def curate_documents(docs: DataFrame, eval_docs: DataFrame,
     DeDuplicator.java:54-94) without a second pass."""
     base = docs.select("doc_id", tokens(F.col("text")).alias("toks"),
                        F.col("text"))
-    cont = contaminated_ids(docs, eval_docs, cfg)
+    cont = contaminated_ids(docs, eval_docs, cfg, max_broadcast_rows)
+    # contaminated ids are bounded by the contamination rate, but guard the
+    # broadcast anyway (persist=True: the count and the join share the
+    # materialized set instead of re-running the decontamination scan)
     pre = (
-        base.join(F.broadcast(cont.withColumn("_cont", F.lit(True))),
+        base.join(_gated_broadcast(cont.withColumn("_cont", F.lit(True)),
+                                   max_broadcast_rows, persist=True),
                   "doc_id", "left")
         .select(
             "doc_id", "text",

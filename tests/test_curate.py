@@ -92,3 +92,27 @@ def test_observation_counters(spark):
     assert got["near_duplicate"] == 1
     assert got["quality_short"] == 1
     assert got["eval_overlap"] == 0
+
+
+def test_broadcast_guard_fallback_identical(spark, tmp_path):
+    """Forcing the shuffle-join fallback (max_broadcast_rows=0) produces
+    verdicts identical to the broadcast path — the guard changes the
+    physical join strategy only."""
+    from deduplicator_spark.plans.curate import curate_documents
+
+    docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"),
+         (1, "beta gamma delta epsilon leaks here"),
+         (2, _BASE),
+         (3, _BASE + " extra more"),
+         (4, "a clean and unique document with the usual stopwords of note "
+             "plus enough distinct words to pass every quality bucket")],
+        "doc_id long, text string",
+    )
+    ev = docs.filter("doc_id % 100 = 0")
+    train = docs.filter("doc_id % 100 != 0")
+    key = lambda rows: sorted(map(tuple, rows))
+    bcast = key(curate_documents(train, ev).collect())
+    shuffled = key(curate_documents(train, ev, max_broadcast_rows=0).collect())
+    assert bcast == shuffled
+    assert any(r[1] == "dropped" and r[2] == "eval_overlap" for r in bcast)
