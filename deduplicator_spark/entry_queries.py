@@ -1377,6 +1377,119 @@ def q_image_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_index_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-increment index GROWTH — the reference's APPEND indexing mode
+    (K1: IndexingLauncher CREATE vs APPEND, IndexBuilder.java:94-104)
+    cross-engine proven over three chained increments: decade anchors
+    (doc_id%10==0) seed the index, then each increment (doc_id%3 buckets of
+    the rest) probes the CURRENT index and only its novel rows are appended
+    before the next increment probes — so a verdict in increment t can refer
+    to a row that entered the index as a novel in increment t-1, which is
+    exactly the semantics a single-shot probe cannot exhibit. Same planted
+    digest/phash structure as image_index_probe, plus one increment-crossing
+    plant: %10==7 reuses the digest of its block's %10==3 row — a NOVEL that
+    is never in the seed index, and (since doc and doc-4 always land in
+    different %3 increments) whichever probes later MUST resolve against the
+    row the earlier increment appended. Oracle = three chained CTE stages
+    with the identical exact-beats-near precedence, (hamming, idx_id) top-1
+    tiebreak, and novel-only append."""
+    from functools import reduce
+
+    from .plans.image_index import build_image_index, probe_and_extend
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.expr(_IINC_DIGEST_SQL).alias("digest"),
+        F.expr(synth_phash_sql("spark", "doc_id")).alias("phash"),
+    )
+    anchors = base.filter(F.col("doc_id") % 10 == 0)
+    index = build_image_index(anchors.select("image_id", "phash"),
+                              digests=anchors.select("image_id", "digest"))
+    outs = []
+    for t in range(3):
+        inc = base.filter(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 == t)
+        ).select("image_id", "digest", "phash")
+        verdicts, index = probe_and_extend(inc, index, DEFAULT)
+        verdicts.persist()  # the append re-reads verdicts as the novel filter
+        index.persist()     # increment t+1 probes this; cut the chain here
+        outs.append(verdicts.select(
+            F.lit(t).cast("long").alias("increment"),
+            F.col("image_id").cast("long").alias("probe_id"),
+            "verdict",
+            F.col("refers_to_id").cast("long").alias("refers_to_id"),
+            "hamming",
+        ))
+    return reduce(DataFrame.unionByName, outs)
+
+
+# image_index_increments digest plant: %10==4 -> its anchor's digest (exact
+# dup of the seed index, as in image_index_probe); %10==7 -> the digest of
+# its block's %10==3 row (a novel appended mid-sequence; doc and doc-4 are
+# 4 apart so they always fall in DIFFERENT %3 increments, forcing a
+# cross-increment hit against the grown index)
+_IINC_DIGEST_SQL = ("md5('d:' || CAST(CASE WHEN doc_id % 10 = 4"
+                    " OR doc_id % 10 = 7"
+                    " THEN doc_id - 4 ELSE doc_id END AS STRING))")
+
+
+def _image_index_increments_oracle() -> str:
+    stages = []
+    for t in range(3):
+        prev = f"idx{t}"
+        stages.append(f"""
+inc{t} AS (SELECT doc_id, digest, phash FROM base
+           WHERE doc_id % 10 <> 0 AND doc_id % 3 = {t}),
+exr{t} AS (SELECT digest, min(doc_id) AS ref FROM {prev} GROUP BY digest),
+ex{t} AS (SELECT i.doc_id, e.ref FROM inc{t} i JOIN exr{t} e USING (digest)),
+ibp{t} AS (SELECT phash, min(doc_id) AS idx_id FROM {prev} GROUP BY phash),
+na{t} AS (
+  SELECT i.doc_id, b.idx_id,
+         CAST(bit_count(xor(i.phash, b.phash)) AS BIGINT) AS h
+  FROM inc{t} i JOIN ibp{t} b
+    ON bit_count(xor(i.phash, b.phash)) <= {DEFAULT.phash_max_hamming}
+  WHERE i.doc_id NOT IN (SELECT doc_id FROM ex{t})
+),
+nr{t} AS (
+  SELECT doc_id, idx_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h, idx_id) AS rn
+  FROM na{t}
+),
+v{t} AS (
+  SELECT doc_id, 'duplicate' AS verdict, ref AS refers_to_id,
+         CAST(NULL AS BIGINT) AS hamming
+  FROM ex{t}
+  UNION ALL
+  SELECT doc_id, 'near_duplicate', idx_id, h FROM nr{t} WHERE rn = 1
+  UNION ALL
+  SELECT i.doc_id, 'novel', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM inc{t} i
+  WHERE i.doc_id NOT IN (SELECT doc_id FROM ex{t})
+    AND i.doc_id NOT IN (SELECT doc_id FROM nr{t})
+),
+idx{t + 1} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT i.doc_id, i.digest, i.phash
+  FROM inc{t} i JOIN v{t} v ON v.doc_id = i.doc_id AND v.verdict = 'novel'
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {t} AS increment, doc_id AS probe_id, verdict,"
+        f" refers_to_id, hamming FROM v{t}" for t in range(3))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_IINC_DIGEST_SQL} AS digest,
+         {synth_phash_sql('duckdb', 'doc_id')} AS phash
+  FROM documents
+),
+idx0 AS (SELECT doc_id, digest, phash FROM base WHERE doc_id % 10 = 0),
+{','.join(stages)}
+{selects}
+"""
+
+
 _CIDX_DIGEST_SQL = ("md5('c:' || CAST(CASE WHEN doc_id % 10 = 4"
                     " THEN doc_id - 4 ELSE doc_id END AS STRING))")
 
@@ -1979,6 +2092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "phash_neardup_pairs": q_phash_neardup_pairs,
     "image_index_probe": q_image_index_probe,
+    "image_index_increments": q_image_index_increments,
     "caption_index_probe": q_caption_index_probe,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "pipeline_verdicts": q_pipeline_verdicts,
@@ -2410,6 +2524,8 @@ WHERE p.doc_id NOT IN (SELECT doc_id FROM exact)
 """
 
 ORACLES["caption_index_probe"] = _CAPTION_PROBE_SQL
+
+ORACLES["image_index_increments"] = _image_index_increments_oracle()
 
 ORACLES["simhash_neardup_pairs"] = _simhash_pairs_oracle_sql()
 
