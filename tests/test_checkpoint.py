@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -19,6 +21,7 @@ def _verdict_set(df):
     return {(r["image_id"], r["verdict"], r["cluster_id"]) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_kill_after_stage_then_resume_identical(spark, images_500, tmp_path):
     root = str(tmp_path / "ckpt")
 
@@ -52,6 +55,7 @@ def test_config_change_invalidates_checkpoints(spark, images_500, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_lineage_and_manifest_contents(spark, images_500, tmp_path):
     root = str(tmp_path / "ckpt3")
     res = run_pipeline_resumable(images_500, root)
@@ -75,6 +79,7 @@ def test_lineage_and_manifest_contents(spark, images_500, tmp_path):
     assert "image_id" in m["schema"]
 
 
+@pytest.mark.slow
 def test_resume_with_corrupt_input_quarantines(spark, images_500, tmp_path):
     """The resumable path must apply the SAME payload validation as
     run_pipeline: a corrupt row is quarantined (own committed stage), never
@@ -103,6 +108,7 @@ def test_resume_with_corrupt_input_quarantines(spark, images_500, tmp_path):
     assert _verdict_set(resumed.verdicts) == _verdict_set(direct.verdicts)
 
 
+@pytest.mark.slow
 def test_changed_input_invalidates_checkpoints(spark, images_500, tmp_path):
     """Stale stages from a DIFFERENT input corpus must not be reused: the
     manifest records an input identity token (the Iceberg snapshot-id
@@ -125,6 +131,7 @@ def test_changed_input_invalidates_checkpoints(spark, images_500, tmp_path):
     other.unpersist()
 
 
+@pytest.mark.slow
 def test_cli_run_synth(tmp_path, spark):
     from deduplicator_spark.cli import main
 

@@ -7,6 +7,8 @@ NOT merge, plus per-pair PSNR verification holds.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from deduplicator_spark.plans.pipeline import run_pipeline
@@ -82,6 +84,7 @@ def test_pixel_verification_bounds(spark, images_500):
     assert ni.filter("score < 40.0").count() == 0
 
 
+@pytest.mark.slow
 def test_payload_validation_quarantines_corrupt_rows(spark, images_500):
     """F9/P9 analog: undecodable bytes and phash-vs-pixels mismatches are
     quarantined (not clustered, not fatal); clean rows are unaffected."""

@@ -5,6 +5,8 @@ accuracy, and last-wins upsert uniqueness."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -31,6 +33,7 @@ _urls = st.builds(lambda h, p, q, f: f"http://{h}{p}{q}{f}",
                   _hosts, _paths, _querys, _frags)
 
 
+@pytest.mark.slow
 @settings(max_examples=6, deadline=None)
 @given(st.lists(_urls, min_size=1, max_size=40))
 def test_canonicalize_idempotent_and_clean(spark, urls):
@@ -68,6 +71,7 @@ def _uf_clusters(n, edges):
     return {f"n{i:03d}": f"n{find(i):03d}" for i in range(n)}
 
 
+@pytest.mark.slow
 @settings(max_examples=6, deadline=None)
 @given(st.data())
 def test_connected_components_matches_union_find(spark, data):

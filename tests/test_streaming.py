@@ -3,6 +3,8 @@ SURVEY.md §2.7), and the watermarked verdict rollup."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -202,6 +204,7 @@ def test_verdict_rollup_stream(spark, tmp_path):
     assert got_d == want_d
 
 
+@pytest.mark.slow
 def test_streaming_neardup_dedup_in_stream(spark, tmp_path):
     """Stateful in-stream near-dup (no static index): per planted family of
     mutually Hamming<=3 phashes, exactly ONE member emits all-null refs (the

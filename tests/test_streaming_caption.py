@@ -5,11 +5,14 @@ tier precedence (exact probes never reach the near join)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 _BASE = "the of " + " ".join(f"w{i:02d}" for i in range(1, 29))  # 30 tokens
 
 
+@pytest.mark.slow
 def test_streaming_caption_probe(spark, tmp_path):
     from deduplicator_spark.plans.caption_index import build_caption_index
     from deduplicator_spark.streaming.caption_probe import (
