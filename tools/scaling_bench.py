@@ -23,7 +23,8 @@ with zero local processes), so:
 
 Usage:
     python tools/scaling_bench.py [n_images] [small_cores] [big_cores]
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/BASELINE_LATEST.md (raw latest round; BENCH/BASELINE.md is the
+curated multi-round evidence doc, maintained by hand) and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -61,7 +62,7 @@ def main() -> None:
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     # secondary-pair runs write elsewhere so the primary evidence doc (with
     # its hand-written interpretation sections) is never clobbered
-    out_md = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/BENCH/BASELINE.md"
+    out_md = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/BENCH/BASELINE_LATEST.md"
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 

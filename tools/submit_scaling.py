@@ -20,7 +20,10 @@ external neighbor load):
 
 Usage:
     python tools/submit_scaling.py [n_images] [small_cores] [big_cores]
-Writes BENCH/SUBMIT_SCALING.md and prints one JSON line.
+Writes BENCH/SUBMIT_SCALING_LATEST.md (raw latest round; the curated
+multi-round disclosure lives in BENCH/SUBMIT_SCALING.md and is maintained
+by hand so a noisy re-run can't clobber the evidence trail) and prints one
+JSON line.
 """
 
 from __future__ import annotations
@@ -67,6 +70,22 @@ def _submit_leg(cores: int, n: int) -> tuple[float, int]:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        # One standalone leg on the existing corpus, same measurement as
+        # run_legs (ext load = max of 1-min avg before / after-minus-own-
+        # cores). Used to pool extra samples of ONE column when the
+        # interleaved rounds keep landing that column on neighbor bursts;
+        # every sample is disclosed in BENCH/SUBMIT_SCALING.md.
+        cores = int(sys.argv[2])
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 320000
+        before = os.getloadavg()[0]
+        sec, dup = _submit_leg(cores, n)
+        load = round(max(before, os.getloadavg()[0] - cores), 1)
+        print(json.dumps({"cores": cores, "sec": round(sec, 2),
+                          "images_per_sec": round(n / sec, 1),
+                          "ext_load": load, "duplicate_verdicts": dup}))
+        return
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
@@ -132,7 +151,7 @@ def run_legs(n: int, small: int, big: int) -> None:
     print(json.dumps(summary))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/SUBMIT_SCALING.md", "w") as f:
+    with open("/root/repo/BENCH/SUBMIT_SCALING_LATEST.md", "w") as f:
         f.write(f"""# Scaling evidence via spark-submit --py-files
 
 North rule: "run via spark-submit --py-files on a multi-executor cluster at
