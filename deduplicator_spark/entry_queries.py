@@ -417,7 +417,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
-edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
 reach(s, d) AS (
   SELECT s, d FROM edges
   UNION
@@ -779,7 +779,7 @@ p2 AS ({_JACCARD_PAIRS_SQL}),
 pe AS (SELECT id_a, id_b FROM p2
        JOIN surv sa ON sa.doc_id = p2.id_a
        JOIN surv sb ON sb.doc_id = p2.id_b),
-edg AS (SELECT id_a AS src, id_b AS dst FROM pe
+edg AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pe
         UNION SELECT id_b, id_a FROM pe),
 reach2(src, dst) AS (
   SELECT src, dst FROM edg
@@ -2538,7 +2538,12 @@ ORACLES["simhash_neardup_pairs"] = _simhash_pairs_oracle_sql()
 # pipeline_verdicts: the flagship's post-decode graph logic end-to-end —
 # three tiers in their exact form, min-priority tier per pair, recursive-CTE
 # connected components, verdict + lineage assembly (TIER_PRIORITY mirrored:
-# exact=1 < near_image=2 < near_caption=3)
+# exact=1 < near_image=2 < near_caption=3).
+# `best`/`edges` carry MATERIALIZED: DuckDB 1.0 re-inlines a CTE at every
+# reference, and each of the ~6 downstream references re-expands the whole
+# tier tree (the jaccard leg alone is ~112 s at 10x scale) — that, not the
+# closure (0.2 s on materialized edges), is what ground the 10x gate run
+# past 35 min. Same results, evaluated once.
 ORACLES["pipeline_verdicts"] = f"""
 WITH RECURSIVE
 dig AS (SELECT doc_id, md5(text) AS digest FROM documents),
@@ -2584,11 +2589,11 @@ tier_edges AS (
   UNION ALL SELECT id_a, id_b, 'near_image', 2 FROM ni
   UNION ALL SELECT id_a, id_b, 'near_caption', 3 FROM jp
 ),
-best AS (
+best AS MATERIALIZED (
   SELECT id_a, id_b, arg_min(tier, p) AS tier, min(p) AS p
   FROM tier_edges GROUP BY id_a, id_b
 ),
-edges AS (SELECT id_a AS s, id_b AS d FROM best UNION SELECT id_b, id_a FROM best),
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM best UNION SELECT id_b, id_a FROM best),
 reach(s, d) AS (
   SELECT s, d FROM edges
   UNION
@@ -2651,7 +2656,7 @@ def _embedding_dedup_keep_oracle() -> str:
     keep/drop verdict (cluster rep = min reachable vec_id)."""
     return f"""
 WITH RECURSIVE pr AS ({_neardup_oracle()}),
-und AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
+und AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
 reach(s, d) AS (
   SELECT s, d FROM und
   UNION
@@ -2777,11 +2782,11 @@ tier_edges AS (
   UNION ALL SELECT id_a, id_b, 'near_caption', 3 FROM nc
   UNION ALL SELECT id_a, id_b, 'containment', 4 FROM cont
 ),
-best AS (
+best AS MATERIALIZED (
   SELECT id_a, id_b, arg_min(tier, p) AS tier, min(p) AS p
   FROM tier_edges GROUP BY id_a, id_b
 ),
-edges AS (SELECT id_a AS s, id_b AS d FROM best UNION SELECT id_b, id_a FROM best),
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM best UNION SELECT id_b, id_a FROM best),
 reach(s, d) AS (
   SELECT s, d FROM edges
   UNION
