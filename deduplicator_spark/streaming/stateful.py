@@ -184,6 +184,99 @@ def _update_band_bucket(max_hamming: int, bucket_cap: int, horizon_ms: int):
     return update
 
 
+def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
+    """Shard-granularity update: one state group holds EVERY (band, key)
+    bucket whose key falls in the shard, as parallel member arrays. Verdict
+    semantics are identical to _update_band_bucket; only the grouping (and
+    therefore the number of per-micro-batch Python invocations) changes."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        band, _shard = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            skeys, sids, shashes, slast = state.get
+            sids = list(sids)
+            skeys = np.asarray(skeys, dtype=np.int64)
+            shs = np.array([h & _MASK64 for h in shashes], dtype=_U64)
+            slast = np.asarray(slast, dtype=np.int64)
+        else:
+            sids = []
+            skeys = np.empty(0, dtype=np.int64)
+            shs = np.empty(0, dtype=_U64)
+            slast = np.empty(0, dtype=np.int64)
+
+        # manual per-bucket eviction: same horizon rule the fine-grained
+        # operator expresses through per-(band,key) timeouts. Buckets whose
+        # last activity + horizon the watermark has passed are dropped
+        # before any arrival is matched, so a late re-arrival re-seeds
+        # exactly as it would have after a bucket timeout.
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0 and len(sids):
+            keep = (slast // 1000 + horizon_ms) > wm_ms
+            if not keep.all():
+                sids = [i for i, k in zip(sids, keep) if k]
+                skeys, shs, slast = skeys[keep], shs[keep], slast[keep]
+
+        out = []
+        max_us = 0
+        new_keys, new_ids, new_hashes, new_last = [], [], [], []
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "image_id"])
+            scratch = np.zeros(bucket_cap, dtype=_U64)
+            for bkey, grp in pdf.groupby("key", sort=False):
+                idx = np.nonzero(skeys == bkey)[0]  # insertion order
+                nb = idx.size
+                local_ids = [sids[i] for i in idx]
+                scratch[:nb] = shs[idx]
+                bucket_max_us = 0
+                for iid, ph, ts in zip(grp["image_id"], grp["phash"],
+                                       grp["ts"]):
+                    us = int(ts.value // 1000)
+                    bucket_max_us = max(bucket_max_us, us)
+                    ref = ham = None
+                    u = _U64(int(ph) & _MASK64)
+                    d = _popcount64(scratch[:nb] ^ u)
+                    hits = np.nonzero(d <= max_hamming)[0]
+                    if hits.size:
+                        j = int(hits[0])  # first-inserted agreeing member
+                        ref, ham = local_ids[j], int(d[j])
+                    capped = False
+                    if ref is None:
+                        if nb < bucket_cap:
+                            local_ids.append(iid)
+                            scratch[nb] = u
+                            nb += 1
+                            new_keys.append(int(bkey))
+                            new_ids.append(iid)
+                            new_hashes.append(int(u))
+                        else:
+                            capped = True
+                    out.append((iid, ts, band, bkey, ref, ham, capped))
+                max_us = max(max_us, bucket_max_us)
+                if idx.size:  # refresh the touched bucket's last activity
+                    slast[idx] = np.maximum(slast[idx], bucket_max_us)
+                new_last.extend([bucket_max_us] * (len(new_ids) - len(new_last)))
+
+        state.update((
+            [int(k) for k in skeys] + new_keys,
+            sids + new_ids,
+            [int(v) - (1 << 64) if v >= (1 << 63) else int(v)
+             for v in shs] + [v - (1 << 64) if v >= (1 << 63) else v
+                              for v in new_hashes],
+            [int(v) for v in slast] + new_last,
+        ))
+        _arm_timeout(state, max_us // 1000, horizon_ms)
+        yield pd.DataFrame(
+            out, columns=["image_id", "ts", "band", "key", "ref_id",
+                          "hamming", "capped"])
+
+    return update
+
+
 def streaming_neardup_dedup(images: DataFrame, cfg=None, bucket_cap: int = 64,
                             watermark: str = "2 hours",
                             ts_col: str = "ts") -> DataFrame:
@@ -235,6 +328,68 @@ def streaming_neardup_dedup(images: DataFrame, cfg=None, bucket_cap: int = 64,
                                 _duration_ms(watermark)),
             outputStructType=NEARDUP_OUTPUT_SCHEMA,
             stateStructType=NEARDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+SHARDED_STATE_SCHEMA = ("keys array<long>, ids array<string>, "
+                        "hashes array<long>, last_us array<long>")
+
+
+def streaming_neardup_dedup_sharded(images: DataFrame, cfg=None,
+                                    bucket_cap: int = 64,
+                                    n_shards: int = 256,
+                                    watermark: str = "2 hours",
+                                    ts_col: str = "ts") -> DataFrame:
+    """streaming_neardup_dedup with SHARD-granularity state: identical
+    verdicts (same bands, same per-(band,key) bucket semantics, same cap and
+    horizon eviction — asserted row-for-row by tests/test_streaming), but the
+    stream is grouped by (band, pmod(key, n_shards)) so one state group holds
+    all of a shard's buckets as parallel member arrays.
+
+    Why: applyInPandasWithState pays ~1 ms of Python-invocation overhead per
+    TOUCHED GROUP per micro-batch. With hash-uniform band keys nearly every
+    family is its own (band, key) group, so the fine-grained operator's
+    ingest wall is group-count-bound, not match-bound (BENCH/STREAM_E2E.md).
+    Sharding caps touched groups per micro-batch at bands x n_shards
+    (4 x 256 = 1024 by default) regardless of how many distinct buckets the
+    batch touches; matching inside a shard is still one vectorized
+    XOR+popcount per arrival over only ITS bucket's members (gathered with
+    one keys==key scan per touched bucket).
+
+    Scale: state per shard is the sum of its live buckets (each <= bucket_cap
+    members); idle buckets are pruned against the watermark horizon at every
+    shard invocation, and a shard-level EventTimeTimeout (re-armed per
+    invocation) removes whole shards idle past the horizon — the same
+    state bound as the fine-grained operator, reached by prune instead of
+    per-bucket timeout. n_shards trades invocation overhead (lower = fewer
+    groups) against shard width and skew (higher = smaller state rows,
+    more parallelism); bands x n_shards should comfortably exceed the
+    executor-core count so the shuffle still spreads."""
+    from ..config import DEFAULT
+    from ..functions.hashing import phash_band_keys
+    from pyspark.sql import functions as F
+
+    cfg = cfg or DEFAULT
+    images = images.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    banded = images.select(
+        "image_id", "phash", F.col(ts_col).alias("ts"),
+        F.explode(phash_band_keys(F.col("phash"), cfg)).alias("bk"),
+    ).select(
+        "image_id", "phash", "ts",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        F.pmod(F.col("bk.key"), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    return (
+        banded.withWatermark("ts", watermark)
+        .groupBy("band", "shard")
+        .applyInPandasWithState(
+            _update_shard(cfg.phash_max_hamming, bucket_cap,
+                          _duration_ms(watermark)),
+            outputStructType=NEARDUP_OUTPUT_SCHEMA,
+            stateStructType=SHARDED_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -265,15 +265,22 @@ def test_streaming_neardup_dedup_in_stream(spark, tmp_path):
                 assert family_of.get(ref) == fi and 0 <= ham <= 3
 
 
-def test_streaming_neardup_bucket_cap(spark, tmp_path):
+@pytest.mark.parametrize("variant", ["fine", "sharded"])
+def test_streaming_neardup_bucket_cap(spark, tmp_path, variant):
     """bucket_cap bounds state: with cap=2 and 4 identical hashes, exactly
     one seed emits all-null refs and the other three match a stored member
-    on every band."""
+    on every band — for both the per-(band,key) operator and its
+    shard-granularity twin."""
     from datetime import datetime
 
     from deduplicator_spark.streaming.probe import read_capture_stream
-    from deduplicator_spark.streaming.stateful import streaming_neardup_dedup
+    from deduplicator_spark.streaming.stateful import (
+        streaming_neardup_dedup,
+        streaming_neardup_dedup_sharded,
+    )
 
+    op = (streaming_neardup_dedup if variant == "fine"
+          else streaming_neardup_dedup_sharded)
     rows = [(f"d{i}", 0x0123_4567_89AB_CDEF, datetime(2026, 1, 1, 0, i))
             for i in range(4)]
     src = str(tmp_path / "cap_src")
@@ -283,12 +290,12 @@ def test_streaming_neardup_bucket_cap(spark, tmp_path):
 
     stream = read_capture_stream(spark, src, schema)
     q = (
-        streaming_neardup_dedup(stream, bucket_cap=2)
-        .writeStream.format("memory").queryName("cap_out")
+        op(stream, bucket_cap=2)
+        .writeStream.format("memory").queryName(f"cap_out_{variant}")
         .trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    got = spark.table("cap_out").collect()
+    got = spark.table(f"cap_out_{variant}").collect()
     refs = {}
     for r in got:
         refs.setdefault(r["image_id"], []).append(r["ref_id"])
@@ -296,3 +303,70 @@ def test_streaming_neardup_bucket_cap(spark, tmp_path):
     assert seeds == ["d0"]  # single file, (ts, id)-sorted replay
     for i in ("d1", "d2", "d3"):
         assert all(x == "d0" for x in refs[i])  # first-inserted member wins
+
+
+@pytest.mark.slow
+def test_streaming_neardup_sharded_equivalence(spark, tmp_path):
+    """The shard-granularity operator emits EXACTLY the per-(band,key)
+    operator's rows — same refs, hammings and cap markers — on a corpus that
+    exercises multi-bucket shards (key collisions mod n_shards), multi-file
+    micro-batch boundaries, planted families, loners, and an over-cap
+    bucket."""
+    from datetime import datetime
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import (
+        streaming_neardup_dedup,
+        streaming_neardup_dedup_sharded,
+    )
+
+    rows, vid = [], 0
+    # three families of 4 whose band keys collide mod 8 across families
+    bases = [0x1111_2222_3333_4444, 0x5555_6666_7777_0888,
+             0x1119_222A_333B_444C]
+    # all timestamps inside one watermark horizon so no micro-batch order
+    # can late-drop a row (repartition(4) shuffles rows across files)
+    for b in bases:
+        for flips in (0b000, 0b001, 0b011, 0b111):
+            rows.append((f"img{vid:04d}", b ^ flips,
+                         datetime(2026, 1, 1, 0, vid)))
+            vid += 1
+    # an over-cap pile vs bucket_cap=4: 7 hashes sharing band 0's key but
+    # pairwise Hamming >= 9 overall, so none matches, all try to insert,
+    # and arrivals 5..7 hit a full band-0 bucket (capped=true there)
+    for k in range(7):
+        h = 0x4321
+        for band in range(1, 4):
+            h |= (0x7000 + 0x111 * k) << (16 * band)
+        rows.append((f"pile{k}", h, datetime(2026, 1, 1, 0, 40, k)))
+    # loners distinct in every band
+    for k in range(5):
+        h = 0
+        for band in range(4):
+            h |= (0x6000 + 0x111 * k + 0x10 * band) << (16 * band)
+        rows.append((f"lone{k}", h, datetime(2026, 1, 1, 0, 50, k)))
+
+    src = str(tmp_path / "equiv_src")
+    df = spark.createDataFrame(rows, "image_id string, phash long, ts timestamp")
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    results = {}
+    for name, op in (("fine", streaming_neardup_dedup),
+                     ("sharded", streaming_neardup_dedup_sharded)):
+        stream = read_capture_stream(spark, src, schema, max_files_per_trigger=1)
+        kw = {"n_shards": 8} if name == "sharded" else {}
+        q = (
+            op(stream, bucket_cap=4, **kw)
+            .writeStream.format("memory").queryName(f"equiv_{name}")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        results[name] = {
+            (r["image_id"], r["band"], r["key"], r["ref_id"], r["hamming"],
+             r["capped"])
+            for r in spark.table(f"equiv_{name}").collect()
+        }
+    assert len(results["fine"]) == len(rows) * 4
+    assert results["sharded"] == results["fine"]
+    assert any(t[5] for t in results["fine"])  # the cap actually bound

@@ -36,10 +36,15 @@ CORPUS = "/tmp/stream_e2e_corpus"
 N_FILES = 16
 
 LEG_CODE = r"""
-import json, shutil, sys, time
+import json, os, shutil, sys, time
 sys.path.insert(0, "/root/repo")
 from deduplicator_spark.session import get_spark
-from deduplicator_spark.streaming.stateful import streaming_neardup_dedup
+from deduplicator_spark.streaming import stateful
+
+if os.environ.get("STREAM_E2E_OP", "fine") == "sharded":
+    streaming_neardup_dedup = stateful.streaming_neardup_dedup_sharded
+else:
+    streaming_neardup_dedup = stateful.streaming_neardup_dedup
 
 corpus, width, run_id = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 spark = get_spark(f"stream-e2e-{run_id}", cores=width)
@@ -105,6 +110,7 @@ def write_corpus(n: int) -> None:
 
 
 def main() -> None:
+    op = os.environ.get("STREAM_E2E_OP", "fine")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     widths = [int(w) for w in sys.argv[2:]] or [2, 8]
     if not os.path.exists(f"{CORPUS}/file_000.parquet"):
@@ -113,8 +119,9 @@ def main() -> None:
     for w in widths:
         before = os.getloadavg()[0]
         out = subprocess.run(
-            [sys.executable, "-c", LEG_CODE, CORPUS, str(w), f"w{w}"],
+            [sys.executable, "-c", LEG_CODE, CORPUS, str(w), f"{op}_w{w}"],
             capture_output=True, text=True, timeout=3600,
+            env=dict(os.environ, STREAM_E2E_OP=op),
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not line:
@@ -159,10 +166,11 @@ def main() -> None:
         ]
     md += [
         "",
-        f"Reproduce: `python tools/stream_e2e_bench.py "
+        f"Reproduce: `STREAM_E2E_OP={op} python tools/stream_e2e_bench.py "
         f"{legs[0]['arrivals']} {' '.join(str(l['width']) for l in legs)}`",
     ]
-    with open("/root/repo/BENCH/STREAM_E2E.md", "w") as f:
+    suffix = "" if op == "fine" else f"_{op.upper()}"
+    with open(f"/root/repo/BENCH/STREAM_E2E{suffix}.md", "w") as f:
         f.write("\n".join(md) + "\n")
 
 
