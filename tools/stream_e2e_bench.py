@@ -42,7 +42,10 @@ from deduplicator_spark.session import get_spark
 from deduplicator_spark.streaming import stateful
 
 if os.environ.get("STREAM_E2E_OP", "fine") == "sharded":
-    streaming_neardup_dedup = stateful.streaming_neardup_dedup_sharded
+    import functools
+    streaming_neardup_dedup = functools.partial(
+        stateful.streaming_neardup_dedup_sharded,
+        n_shards=int(os.environ.get("STREAM_E2E_SHARDS", "256")))
 else:
     streaming_neardup_dedup = stateful.streaming_neardup_dedup
 
@@ -170,6 +173,8 @@ def main() -> None:
         f"{legs[0]['arrivals']} {' '.join(str(l['width']) for l in legs)}`",
     ]
     suffix = "" if op == "fine" else f"_{op.upper()}"
+    if op == "sharded" and "STREAM_E2E_SHARDS" in os.environ:
+        suffix += f"_{os.environ['STREAM_E2E_SHARDS']}"
     with open(f"/root/repo/BENCH/STREAM_E2E{suffix}.md", "w") as f:
         f.write("\n".join(md) + "\n")
 
