@@ -115,6 +115,41 @@ def test_stateful_dup_stats_matches_batch(spark, tmp_path):
     assert any(n > 1 for n, _ in got.values())  # real dups exercised
 
 
+def test_stateful_dup_stats_sharded_equivalence(spark, tmp_path):
+    """The shard-granularity dup-stats operator emits EXACTLY the per-digest
+    operator's rows (same running totals at the same micro-batch boundaries,
+    same first-capture rule) when both consume identical file batches."""
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import (
+        streaming_dup_stats,
+        streaming_dup_stats_sharded,
+    )
+
+    probe, _ = _probe_and_index(spark)
+    src = str(tmp_path / "shard_stats_src")
+    probe.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    results = {}
+    for name, op, kw in (("fine", streaming_dup_stats, {}),
+                         ("sharded", streaming_dup_stats_sharded,
+                          {"n_shards": 16})):
+        stream = read_capture_stream(spark, src, schema, max_files_per_trigger=2)
+        q = (
+            op(stream, **kw)
+            .writeStream.format("memory").queryName(f"stats_{name}")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        results[name] = {
+            (r["digest"], r["n_seen"], r["n_dups"], r["first_record_id"],
+             r["first_ts"])
+            for r in spark.table(f"stats_{name}").collect()
+        }
+    assert results["sharded"] == results["fine"]
+    assert any(t[1] > 1 for t in results["fine"])  # real dups exercised
+
+
 def test_streaming_phash_probe_matches_exact_hamming(spark, tmp_path):
     """Streaming near-image probe == the exact Hamming<=3 probe-x-index join:
     pigeonhole recall-1 through the stream-static band join, and the
