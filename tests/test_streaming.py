@@ -115,6 +115,7 @@ def test_stateful_dup_stats_matches_batch(spark, tmp_path):
     assert any(n > 1 for n, _ in got.values())  # real dups exercised
 
 
+@pytest.mark.slow
 def test_stateful_dup_stats_sharded_equivalence(spark, tmp_path):
     """The shard-granularity dup-stats operator emits EXACTLY the per-digest
     operator's rows (same running totals at the same micro-batch boundaries,
