@@ -109,43 +109,69 @@ def streaming_dup_stats(captures: DataFrame, watermark: str = "2 hours",
 
 DUP_SHARD_STATE_SCHEMA = ("digests array<string>, ns array<long>, "
                           "first_ids array<string>, first_us array<long>, "
-                          "last_us array<long>")
+                          "anchor_ms array<long>")
 
 
 def _update_digest_shard(horizon_ms: int):
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            state.remove()
+            # The shard timer is armed at the EARLIEST per-digest expiry, so
+            # this fires in exactly the batch where the fine-grained
+            # operator would evict its first digest: drop every expired
+            # digest, keep the rest, re-arm at the new earliest expiry.
+            digests, ns, first_ids, first_us, anchor_ms = \
+                [list(x) for x in state.get]
+            wm = state.getCurrentWatermarkMs()
+            keep = [a + horizon_ms > wm for a in anchor_ms]
+            if any(keep):
+                digests, ns, first_ids, first_us, anchor_ms = (
+                    [v for v, k in zip(col, keep) if k]
+                    for col in (digests, ns, first_ids, first_us, anchor_ms))
+                state.update((digests, ns, first_ids, first_us, anchor_ms))
+                state.setTimeoutTimestamp(min(anchor_ms) + horizon_ms)
+            else:
+                state.remove()
             return
         if state.exists:
-            digests, ns, first_ids, first_us, last_us = \
+            digests, ns, first_ids, first_us, anchor_ms = \
                 [list(x) for x in state.get]
         else:
-            digests, ns, first_ids, first_us, last_us = [], [], [], [], []
+            digests, ns, first_ids, first_us, anchor_ms = [], [], [], [], []
 
-        # evict digests idle past the horizon before touching arrivals —
-        # the same rule the per-digest operator expresses via its timeout
+        frames = [p for p in pdfs if len(p)]
+        pdf = None
+        if frames:
+            pdf = pd.concat(frames)
+            # normalize to ns first: Series.astype('int64') yields the
+            # underlying unit's count, and Arrow may deliver non-ns
+            # datetime64 under pandas 2.x resolutions
+            pdf = pdf.assign(
+                _us=pdf["ts"].astype("datetime64[ns]").astype("int64")
+                // 1000)
+
+        # Evict exactly when the per-digest operator's EventTimeTimeout
+        # would: watermark past anchor + horizon AND no arrival for the
+        # digest in this batch (Spark never times out a group with data in
+        # the trigger); a touched digest's anchor is replaced, as
+        # setTimeoutTimestamp re-arms.
         wm = state.getCurrentWatermarkMs()
         if wm > 0 and digests:
-            keep = [lu // 1000 + horizon_ms > wm for lu in last_us]
+            touched = set(pdf["digest"]) if pdf is not None else ()
+            keep = [a + horizon_ms > wm or d in touched
+                    for d, a in zip(digests, anchor_ms)]
             if not all(keep):
-                digests, ns, first_ids, first_us, last_us = (
+                digests, ns, first_ids, first_us, anchor_ms = (
                     [v for v, k in zip(col, keep) if k]
-                    for col in (digests, ns, first_ids, first_us, last_us))
+                    for col in (digests, ns, first_ids, first_us, anchor_ms))
 
         pos = {d: i for i, d in enumerate(digests)}
         out = []
-        max_us_all = 0
-        frames = [p for p in pdfs if len(p)]
-        if frames:
-            pdf = pd.concat(frames)
-            pdf = pdf.assign(_us=pdf["ts"].astype("int64") // 1000)
+        if pdf is not None:
             for dg, grp in pdf.groupby("digest", sort=False):
                 g = grp.sort_values(["_us", "record_id"]).iloc[0]
                 b_us, b_id = int(g["_us"]), g["record_id"]
-                b_max = int(grp["_us"].max())
-                max_us_all = max(max_us_all, b_max)
+                anchor = max(int(grp["_us"].max()) // 1000, wm)
                 i = pos.get(dg)
                 if i is None:
                     i = pos[dg] = len(digests)
@@ -153,12 +179,12 @@ def _update_digest_shard(horizon_ms: int):
                     ns.append(len(grp))
                     first_ids.append(b_id)
                     first_us.append(b_us)
-                    last_us.append(b_max)
+                    anchor_ms.append(anchor)
                 else:
                     ns[i] += len(grp)
                     if (b_us, b_id) < (first_us[i], first_ids[i]):
                         first_us[i], first_ids[i] = b_us, b_id
-                    last_us[i] = max(last_us[i], b_max)
+                    anchor_ms[i] = anchor
                 out.append({
                     "digest": dg,
                     "n_seen": ns[i],
@@ -166,8 +192,14 @@ def _update_digest_shard(horizon_ms: int):
                     "first_record_id": first_ids[i],
                     "first_ts": pd.Timestamp(first_us[i] * 1000),
                 })
-        state.update((digests, ns, first_ids, first_us, last_us))
-        _arm_timeout(state, max_us_all // 1000, horizon_ms)
+        if anchor_ms:
+            state.update((digests, ns, first_ids, first_us, anchor_ms))
+            # arm at the EARLIEST digest expiry so the shard is invoked in
+            # the first batch any digest would time out (strictly > wm:
+            # every surviving/touched anchor satisfies anchor+horizon > wm)
+            state.setTimeoutTimestamp(min(anchor_ms) + horizon_ms)
+        elif state.exists:
+            state.remove()  # every digest evicted, nothing arrived
         yield pd.DataFrame(
             out, columns=["digest", "n_seen", "n_dups",
                           "first_record_id", "first_ts"])
@@ -190,7 +222,9 @@ def streaming_dup_stats_sharded(captures: DataFrame,
     distinct digest per micro-batch; sharding caps that at n_shards.
     The batch-side reduction per digest stays vectorized (one pandas
     sort/min per touched digest); idle digests are pruned against the
-    watermark horizon per invocation with a shard-level timeout backstop."""
+    watermark horizon per invocation, and the shard timeout is armed at the
+    EARLIEST digest expiry so eviction lands in the same micro-batch as the
+    per-digest operator's EventTimeTimeout would."""
     from pyspark.sql import functions as F
 
     captures = captures.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -276,8 +310,7 @@ def _update_band_bucket(max_hamming: int, bucket_cap: int, horizon_ms: int):
                         # 'bucket full' instead of silently losing recall.
                         capped = True
                 out.append((iid, ts, band, bkey, ref, ham, capped))
-        state.update((ids, [int(v) - (1 << 64) if v >= (1 << 63) else int(v)
-                            for v in harr[:n]]))
+        state.update((ids, _to_signed64(harr[:n])))
         _arm_timeout(state, max_us // 1000, horizon_ms)
         yield pd.DataFrame(
             out, columns=["image_id", "ts", "band", "key", "ref_id",
@@ -286,55 +319,102 @@ def _update_band_bucket(max_hamming: int, bucket_cap: int, horizon_ms: int):
     return update
 
 
+def _to_signed64(values) -> list:
+    """uint64 values -> Spark signed-long two's-complement wrap."""
+    return [int(v) - (1 << 64) if int(v) >= (1 << 63) else int(v)
+            for v in values]
+
+
 def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
     """Shard-granularity update: one state group holds EVERY (band, key)
     bucket whose key falls in the shard, as parallel member arrays. Verdict
     semantics are identical to _update_band_bucket; only the grouping (and
-    therefore the number of per-micro-batch Python invocations) changes."""
+    therefore the number of per-micro-batch Python invocations) changes.
+
+    Eviction mirrors Spark's EventTimeTimeout EXACTLY, not just its horizon:
+    each bucket stores the anchor the fine-grained operator would have armed
+    (max(bucket batch-max event ms, watermark at arming)); a bucket is
+    pruned only when the watermark passes anchor + horizon AND the bucket
+    has no arrival in the current batch (Spark never times out a group that
+    has data in the trigger — an arrival landing in the first batch past
+    the horizon still matches the stored members, exactly as in the
+    fine-grained operator); and a touched bucket's anchor is REPLACED, not
+    max-merged, exactly as setTimeoutTimestamp re-arms. The shard-level
+    timeout is armed at MIN(live bucket anchors) + horizon — the earliest
+    per-bucket expiry — so the shard is guaranteed an invocation (data or
+    timeout) in exactly the batch where the fine-grained operator would
+    first evict one of its buckets; the timed-out branch then drops only
+    the expired buckets and re-arms at the next earliest expiry. Arming at
+    max instead would let a long-lived shard-mate defer the invocation past
+    an expired bucket's eviction batch, and a later same-key arrival would
+    revive that zombie bucket through the data-in-batch exemption — the
+    exact divergence the horizon-boundary test pins."""
 
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         band, _shard = key
         if state.hasTimedOut:
-            state.remove()
+            # fired at the earliest bucket expiry: evict exactly the
+            # expired buckets, keep the rest, re-arm at the new earliest
+            skeys, sids, shashes, sanchor = state.get
+            sanchor = np.asarray(sanchor, dtype=np.int64)
+            wm_ms = state.getCurrentWatermarkMs()
+            keep = (sanchor + horizon_ms) > wm_ms
+            if keep.any():
+                sanchor = sanchor[keep]
+                state.update((
+                    [int(k) for k, kp in zip(skeys, keep) if kp],
+                    [i for i, kp in zip(sids, keep) if kp],
+                    [int(h) for h, kp in zip(shashes, keep) if kp],
+                    [int(a) for a in sanchor],
+                ))
+                state.setTimeoutTimestamp(int(sanchor.min()) + horizon_ms)
+            else:
+                state.remove()
             return
         if state.exists:
-            skeys, sids, shashes, slast = state.get
+            skeys, sids, shashes, sanchor = state.get
             sids = list(sids)
             skeys = np.asarray(skeys, dtype=np.int64)
             shs = np.array([h & _MASK64 for h in shashes], dtype=_U64)
-            slast = np.asarray(slast, dtype=np.int64)
+            sanchor = np.asarray(sanchor, dtype=np.int64)
         else:
             sids = []
             skeys = np.empty(0, dtype=np.int64)
             shs = np.empty(0, dtype=_U64)
-            slast = np.empty(0, dtype=np.int64)
+            sanchor = np.empty(0, dtype=np.int64)
 
-        # manual per-bucket eviction: same horizon rule the fine-grained
-        # operator expresses through per-(band,key) timeouts. Buckets whose
-        # last activity + horizon the watermark has passed are dropped
-        # before any arrival is matched, so a late re-arrival re-seeds
-        # exactly as it would have after a bucket timeout.
+        frames = [p for p in pdfs if len(p)]
+        pdf = (pd.concat(frames).sort_values(["ts", "image_id"])
+               if frames else None)
+
         wm_ms = state.getCurrentWatermarkMs()
         if wm_ms > 0 and len(sids):
-            keep = (slast // 1000 + horizon_ms) > wm_ms
+            keep = (sanchor + horizon_ms) > wm_ms
+            if not keep.all() and pdf is not None:
+                # Spark does not time out a group with data in the batch
+                keep |= np.isin(skeys, pdf["key"].unique())
             if not keep.all():
                 sids = [i for i, k in zip(sids, keep) if k]
-                skeys, shs, slast = skeys[keep], shs[keep], slast[keep]
+                skeys, shs, sanchor = skeys[keep], shs[keep], sanchor[keep]
 
         out = []
-        max_us = 0
-        new_keys, new_ids, new_hashes, new_last = [], [], [], []
-        frames = [p for p in pdfs if len(p)]
-        if frames:
-            pdf = pd.concat(frames).sort_values(["ts", "image_id"])
+        new_keys, new_ids, new_hashes, new_anchor = [], [], [], []
+        if pdf is not None:
+            # one stable sort -> O(log n) bucket lookup, insertion order
+            # preserved within equal keys
+            order = np.argsort(skeys, kind="stable")
+            sorted_keys = skeys[order]
             scratch = np.zeros(bucket_cap, dtype=_U64)
             for bkey, grp in pdf.groupby("key", sort=False):
-                idx = np.nonzero(skeys == bkey)[0]  # insertion order
+                lo = np.searchsorted(sorted_keys, bkey, "left")
+                hi = np.searchsorted(sorted_keys, bkey, "right")
+                idx = order[lo:hi]
                 nb = idx.size
                 local_ids = [sids[i] for i in idx]
                 scratch[:nb] = shs[idx]
                 bucket_max_us = 0
+                n_before = len(new_ids)
                 for iid, ph, ts in zip(grp["image_id"], grp["phash"],
                                        grp["ts"]):
                     us = int(ts.value // 1000)
@@ -358,20 +438,24 @@ def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
                         else:
                             capped = True
                     out.append((iid, ts, band, bkey, ref, ham, capped))
-                max_us = max(max_us, bucket_max_us)
-                if idx.size:  # refresh the touched bucket's last activity
-                    slast[idx] = np.maximum(slast[idx], bucket_max_us)
-                new_last.extend([bucket_max_us] * (len(new_ids) - len(new_last)))
+                anchor = max(bucket_max_us // 1000, wm_ms)
+                if idx.size:  # re-arm = replace, as setTimeoutTimestamp does
+                    sanchor[idx] = anchor
+                new_anchor.extend([anchor] * (len(new_ids) - n_before))
 
-        state.update((
-            [int(k) for k in skeys] + new_keys,
-            sids + new_ids,
-            [int(v) - (1 << 64) if v >= (1 << 63) else int(v)
-             for v in shs] + [v - (1 << 64) if v >= (1 << 63) else v
-                              for v in new_hashes],
-            [int(v) for v in slast] + new_last,
-        ))
-        _arm_timeout(state, max_us // 1000, horizon_ms)
+        anchors = [int(v) for v in sanchor] + new_anchor
+        if anchors:
+            state.update((
+                [int(k) for k in skeys] + new_keys,
+                sids + new_ids,
+                _to_signed64(shs) + _to_signed64(new_hashes),
+                anchors,
+            ))
+            # earliest bucket expiry (strictly > wm: surviving and touched
+            # buckets all satisfy anchor + horizon > wm by construction)
+            state.setTimeoutTimestamp(min(anchors) + horizon_ms)
+        elif state.exists:
+            state.remove()  # every bucket evicted, nothing arrived
         yield pd.DataFrame(
             out, columns=["image_id", "ts", "band", "key", "ref_id",
                           "hamming", "capped"])
@@ -437,7 +521,7 @@ def streaming_neardup_dedup(images: DataFrame, cfg=None, bucket_cap: int = 64,
 
 
 SHARDED_STATE_SCHEMA = ("keys array<long>, ids array<string>, "
-                        "hashes array<long>, last_us array<long>")
+                        "hashes array<long>, anchor_ms array<long>")
 
 
 def streaming_neardup_dedup_sharded(images: DataFrame, cfg=None,
@@ -463,10 +547,11 @@ def streaming_neardup_dedup_sharded(images: DataFrame, cfg=None,
 
     Scale: state per shard is the sum of its live buckets (each <= bucket_cap
     members); idle buckets are pruned against the watermark horizon at every
-    shard invocation, and a shard-level EventTimeTimeout (re-armed per
-    invocation) removes whole shards idle past the horizon — the same
-    state bound as the fine-grained operator, reached by prune instead of
-    per-bucket timeout. n_shards trades invocation overhead (lower = fewer
+    shard invocation, and a shard-level EventTimeTimeout armed at the
+    EARLIEST live bucket expiry guarantees that invocation happens in the
+    same micro-batch the fine-grained operator's per-bucket timeout would
+    fire — the same state bound AND the same eviction batch, verdict
+    equivalence holding even at the horizon boundary. n_shards trades invocation overhead (lower = fewer
     groups) against shard width and skew (higher = smaller state rows,
     more parallelism); bands x n_shards should comfortably exceed the
     executor-core count so the shuffle still spreads."""

@@ -142,11 +142,12 @@ def test_stateful_dup_stats_sharded_equivalence(spark, tmp_path):
             .outputMode("update").trigger(availableNow=True).start()
         )
         q.awaitTermination()
-        results[name] = {
+        results[name] = sorted(
             (r["digest"], r["n_seen"], r["n_dups"], r["first_record_id"],
              r["first_ts"])
             for r in spark.table(f"stats_{name}").collect()
-        }
+        )
+    # multiset equality: multiplicities must match too
     assert results["sharded"] == results["fine"]
     assert any(t[1] > 1 for t in results["fine"])  # real dups exercised
 
@@ -398,11 +399,179 @@ def test_streaming_neardup_sharded_equivalence(spark, tmp_path):
             .trigger(availableNow=True).start()
         )
         q.awaitTermination()
-        results[name] = {
+        results[name] = sorted(
             (r["image_id"], r["band"], r["key"], r["ref_id"], r["hamming"],
              r["capped"])
             for r in spark.table(f"equiv_{name}").collect()
-        }
+        )
     assert len(results["fine"]) == len(rows) * 4
+    # multiset equality: multiplicities must match too
     assert results["sharded"] == results["fine"]
     assert any(t[5] for t in results["fine"])  # the cap actually bound
+
+
+@pytest.mark.slow
+def test_streaming_neardup_sharded_horizon_boundary(spark, tmp_path):
+    """Equivalence AT the watermark-eviction boundary, where a naive
+    watermark prune diverges from Spark's EventTimeTimeout: a re-arrival
+    landing in the first micro-batch whose watermark has passed the
+    bucket's horizon must still MATCH the stored member (Spark never times
+    out a group with data in the trigger), while a re-arrival after an
+    idle expired batch must re-seed. File-per-batch corpus, lexicographic
+    file order = deterministic batch order."""
+    from datetime import datetime, timedelta
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import (
+        streaming_neardup_dedup,
+        streaming_neardup_dedup_sharded,
+    )
+
+    t0 = datetime(2026, 1, 1, 6, 0)
+    P = 0x1111_2222_3333_4444
+
+    def loner(k):
+        h = 0
+        for band in range(4):
+            h |= (0x6000 + 0x111 * k + 0x10 * band) << (16 * band)
+        return h
+
+    # batch-by-batch script (watermark = 2 hours):
+    #  b1: A1 seeds bucket P           (wm after: t0-2h)
+    #  b2: filler at t0+6h             (wm after: t0+4h -> P's timer expired)
+    #  b3: A2 (P^1) at t0+6h -> the bucket has DATA in the first expired
+    #      batch: fine keeps state and matches; a naive prune would re-seed
+    #  b4: filler at t0+12h            (wm after: t0+10h)
+    #  b5: filler at t0+13h -> P idle in an expired batch: timer fires
+    #  b6: A3 (P^2) at t0+13h -> both operators re-seed
+    files = [
+        [("A1", P, t0)],
+        [("f1", loner(1), t0 + timedelta(hours=6))],
+        [("A2", P ^ 1, t0 + timedelta(hours=6))],
+        [("f2", loner(2), t0 + timedelta(hours=12))],
+        [("f3", loner(3), t0 + timedelta(hours=13))],
+        [("A3", P ^ 2, t0 + timedelta(hours=13))],
+    ]
+    src = str(tmp_path / "boundary_src")
+    import os
+    os.makedirs(src)
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(
+            rows, "image_id string, phash long, ts timestamp").coalesce(1)
+        part_dir = str(tmp_path / f"_b{i}")
+        df.write.mode("overwrite").parquet(part_dir)
+        part = [p for p in os.listdir(part_dir) if p.endswith(".parquet")][0]
+        os.rename(f"{part_dir}/{part}", f"{src}/file_{i:03d}.parquet")
+    schema = spark.read.parquet(src).schema
+
+    results = {}
+    for name, op in (("fine", streaming_neardup_dedup),
+                     ("sharded", streaming_neardup_dedup_sharded)):
+        stream = read_capture_stream(spark, src, schema, max_files_per_trigger=1)
+        kw = {"n_shards": 8} if name == "sharded" else {}
+        q = (
+            op(stream, **kw)
+            .writeStream.format("memory").queryName(f"bound_{name}")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        results[name] = sorted(
+            (r["image_id"], r["band"], r["key"], r["ref_id"], r["hamming"],
+             r["capped"])
+            for r in spark.table(f"bound_{name}").collect()
+        )
+    assert results["sharded"] == results["fine"]
+    refs = {}
+    for iid, _, _, ref, _, _ in results["fine"]:
+        refs.setdefault(iid, []).append(ref)
+    # A2 arrives in the first batch past the horizon WITH data: must match
+    assert any(r == "A1" for r in refs["A2"])
+    # A3 arrives after an idle expired batch evicted the bucket: re-seeds
+    assert all(r is None for r in refs["A3"])
+
+
+@pytest.mark.slow
+def test_stateful_dup_stats_sharded_horizon_boundary(spark, tmp_path):
+    """Dup-stats twin of the neardup horizon-boundary test: a digest
+    re-arriving in the first micro-batch past its horizon (WITH data in the
+    trigger) keeps its running count, while a re-arrival after an idle
+    expired batch re-seeds at n_seen=1 — and the sharded operator must do
+    both in the SAME batches as the per-digest EventTimeTimeout, even when
+    a long-lived shard-mate digest would (under max-anchor arming) defer
+    the shard's timeout past the eviction batch."""
+    import os
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import (
+        streaming_dup_stats,
+        streaming_dup_stats_sharded,
+    )
+
+    n_shards = 4
+    # pick filler digests by their REAL shard assignment: f_same shares D's
+    # shard (extends a max-armed timer); f_other does not (leaves the shard
+    # un-invoked in the eviction batch)
+    cands = spark.createDataFrame(
+        [(f"d{i:03d}",) for i in range(64)], "digest string"
+    ).withColumn("shard", F.pmod(F.xxhash64("digest"), F.lit(n_shards)))
+    by_shard = {}
+    for r in cands.collect():
+        by_shard.setdefault(r["shard"], []).append(r["digest"])
+    target = spark.createDataFrame([("DUP",)], "digest string").select(
+        F.pmod(F.xxhash64("digest"), F.lit(n_shards))).collect()[0][0]
+    f_same = [d for s, ds in by_shard.items() if s == target for d in ds]
+    f_other = [d for s, ds in by_shard.items() if s != target for d in ds]
+    assert len(f_same) >= 2 and len(f_other) >= 1
+
+    t0 = datetime(2026, 1, 1, 6, 0)
+    # batch script (watermark = 2 hours):
+    #  b1: DUP r1 seeds                 (wm after: t0-2h)
+    #  b2: same-shard filler at t0+6h   (wm after: t0+4h -> DUP expired)
+    #  b3: DUP r2 at t0+6h -> data in the first expired batch: count runs on
+    #  b4: same-shard filler at t0+12h  (max-armed timer would jump to 14h)
+    #  b5: OTHER-shard filler at t0+13h -> DUP idle in an expired batch:
+    #      min-armed shard timeout fires, DUP evicted (fine: group timeout)
+    #  b6: DUP r3 at t0+13h -> both operators re-seed at n_seen=1
+    files = [
+        [("r1", "DUP", t0)],
+        [("g1", f_same[0], t0 + timedelta(hours=6))],
+        [("r2", "DUP", t0 + timedelta(hours=6))],
+        [("g2", f_same[1], t0 + timedelta(hours=12))],
+        [("g3", f_other[0], t0 + timedelta(hours=13))],
+        [("r3", "DUP", t0 + timedelta(hours=13))],
+    ]
+    src = str(tmp_path / "stats_boundary_src")
+    os.makedirs(src)
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(
+            rows, "record_id string, digest string, ts timestamp").coalesce(1)
+        part_dir = str(tmp_path / f"_sb{i}")
+        df.write.mode("overwrite").parquet(part_dir)
+        part = [p for p in os.listdir(part_dir) if p.endswith(".parquet")][0]
+        os.rename(f"{part_dir}/{part}", f"{src}/file_{i:03d}.parquet")
+    schema = spark.read.parquet(src).schema
+
+    results = {}
+    for name, op, kw in (("fine", streaming_dup_stats, {}),
+                         ("sharded", streaming_dup_stats_sharded,
+                          {"n_shards": n_shards})):
+        stream = read_capture_stream(spark, src, schema,
+                                     max_files_per_trigger=1)
+        q = (
+            op(stream, **kw)
+            .writeStream.format("memory").queryName(f"sbound_{name}")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        results[name] = sorted(
+            (r["digest"], r["n_seen"], r["n_dups"], r["first_record_id"])
+            for r in spark.table(f"sbound_{name}").collect()
+        )
+    assert results["sharded"] == results["fine"]
+    dup_counts = sorted(n for d, n, _, _ in results["fine"] if d == "DUP")
+    # r2 lands in the first expired batch WITH data -> count continues (2);
+    # r3 lands after an idle expired batch -> state re-seeded (1)
+    assert dup_counts == [1, 1, 2]
