@@ -575,3 +575,126 @@ def test_stateful_dup_stats_sharded_horizon_boundary(spark, tmp_path):
     # r2 lands in the first expired batch WITH data -> count continues (2);
     # r3 lands after an idle expired batch -> state re-seeded (1)
     assert dup_counts == [1, 1, 2]
+
+
+def _write_batch_file(spark, tmp_path, src, tag, rows, schema_str):
+    """Append one single-file micro-batch to a file-stream source dir."""
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    df = spark.createDataFrame(rows, schema_str).coalesce(1)
+    part_dir = str(tmp_path / f"_stage_{tag}")
+    df.write.mode("overwrite").parquet(part_dir)
+    part = [p for p in os.listdir(part_dir) if p.endswith(".parquet")][0]
+    n = len(os.listdir(src))
+    os.rename(f"{part_dir}/{part}", f"{src}/file_{n:03d}.parquet")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["fine", "sharded"])
+def test_streaming_neardup_restart_recovers_state(spark, tmp_path, variant):
+    """North-rule resumability on the streaming side: stop the in-stream
+    near-dup query, start a NEW query from the same checkpointLocation, and
+    the bucket membership written by the first query must still match — the
+    applyInPandasWithState state store survives query restarts, and the
+    file source resumes from its committed offsets (the seed file is not
+    reprocessed). Parquet sink = exactly-once row counts across the restart."""
+    from datetime import datetime, timedelta
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import (
+        streaming_neardup_dedup,
+        streaming_neardup_dedup_sharded,
+    )
+
+    op = (streaming_neardup_dedup if variant == "fine"
+          else streaming_neardup_dedup_sharded)
+    kw = {} if variant == "fine" else {"n_shards": 8}
+    t0 = datetime(2026, 1, 1, 6, 0)
+    P = 0x1111_2222_3333_4444
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema_str = "image_id string, phash long, ts timestamp"
+
+    def run_once():
+        schema = spark.read.parquet(src).schema
+        stream = read_capture_stream(spark, src, schema,
+                                     max_files_per_trigger=1)
+        q = (
+            op(stream, **kw)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    _write_batch_file(spark, tmp_path, src, "seed", [("A1", P, t0)],
+                      schema_str)
+    run_once()  # query 1: seeds the (band, key) buckets, then stops
+    _write_batch_file(spark, tmp_path, src, "dup",
+                      [("A2", P ^ 1, t0 + timedelta(minutes=30))],
+                      schema_str)
+    run_once()  # query 2: fresh query object, same checkpoint
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8  # 2 images x 4 bands, each file processed once
+    a2_refs = sorted((r["ref_id"] or "-") for r in rows
+                     if r["image_id"] == "A2")
+    # bit 0 flips A2's band-0 key (new bucket, no match); bands 1-3 hit
+    # A1's bucket — possible ONLY if query 2 recovered query 1's state
+    assert a2_refs == ["-", "A1", "A1", "A1"]
+    assert all(r["ref_id"] is None for r in rows if r["image_id"] == "A1")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["fine", "sharded"])
+def test_streaming_dup_stats_restart_recovers_counts(spark, tmp_path,
+                                                     variant):
+    """Dup-stats twin of the restart test (update output mode, so the sink
+    is a foreachBatch parquet append): a digest's running n_seen must
+    continue across a stop + fresh-query restart from the same checkpoint."""
+    from datetime import datetime, timedelta
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import (
+        streaming_dup_stats,
+        streaming_dup_stats_sharded,
+    )
+
+    op = (streaming_dup_stats if variant == "fine"
+          else streaming_dup_stats_sharded)
+    kw = {} if variant == "fine" else {"n_shards": 4}
+    t0 = datetime(2026, 1, 1, 6, 0)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema_str = "record_id string, digest string, ts timestamp"
+
+    def run_once():
+        schema = spark.read.parquet(src).schema
+        stream = read_capture_stream(spark, src, schema,
+                                     max_files_per_trigger=1)
+        q = (
+            op(stream, **kw)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    _write_batch_file(spark, tmp_path, src, "seed", [("r1", "DUP", t0)],
+                      schema_str)
+    run_once()
+    _write_batch_file(spark, tmp_path, src, "dup",
+                      [("r2", "DUP", t0 + timedelta(minutes=30))],
+                      schema_str)
+    run_once()
+
+    got = sorted((r["digest"], r["n_seen"], r["first_record_id"])
+                 for r in spark.read.parquet(out).collect())
+    # n_seen reaches 2 with first_record_id preserved ONLY if query 2
+    # recovered query 1's per-digest state from the checkpoint
+    assert got == [("DUP", 1, "r1"), ("DUP", 2, "r1")]
