@@ -123,7 +123,10 @@ def _update_digest_shard(horizon_ms: int):
             digests, ns, first_ids, first_us, anchor_ms = \
                 [list(x) for x in state.get]
             wm = state.getCurrentWatermarkMs()
-            keep = [a + horizon_ms > wm for a in anchor_ms]
+            # Spark fires an EventTimeTimeout only when timeout < wm
+            # STRICTLY, so a digest whose expiry equals the watermark is
+            # kept — hence >=.
+            keep = [a + horizon_ms >= wm for a in anchor_ms]
             if any(keep):
                 digests, ns, first_ids, first_us, anchor_ms = (
                     [v for v, k in zip(col, keep) if k]
@@ -151,14 +154,15 @@ def _update_digest_shard(horizon_ms: int):
                 // 1000)
 
         # Evict exactly when the per-digest operator's EventTimeTimeout
-        # would: watermark past anchor + horizon AND no arrival for the
-        # digest in this batch (Spark never times out a group with data in
-        # the trigger); a touched digest's anchor is replaced, as
+        # would: watermark STRICTLY past anchor + horizon (Spark fires a
+        # timeout only when timeout < wm, so equality keeps) AND no arrival
+        # for the digest in this batch (Spark never times out a group with
+        # data in the trigger); a touched digest's anchor is replaced, as
         # setTimeoutTimestamp re-arms.
         wm = state.getCurrentWatermarkMs()
         if wm > 0 and digests:
             touched = set(pdf["digest"]) if pdf is not None else ()
-            keep = [a + horizon_ms > wm or d in touched
+            keep = [a + horizon_ms >= wm or d in touched
                     for d, a in zip(digests, anchor_ms)]
             if not all(keep):
                 digests, ns, first_ids, first_us, anchor_ms = (
@@ -195,8 +199,9 @@ def _update_digest_shard(horizon_ms: int):
         if anchor_ms:
             state.update((digests, ns, first_ids, first_us, anchor_ms))
             # arm at the EARLIEST digest expiry so the shard is invoked in
-            # the first batch any digest would time out (strictly > wm:
-            # every surviving/touched anchor satisfies anchor+horizon > wm)
+            # the first batch any digest would time out (valid: every
+            # surviving/touched anchor satisfies anchor + horizon >= wm,
+            # and setTimeoutTimestamp allows equality with the watermark)
             state.setTimeoutTimestamp(min(anchor_ms) + horizon_ms)
         elif state.exists:
             state.remove()  # every digest evicted, nothing arrived
@@ -334,8 +339,9 @@ def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
     Eviction mirrors Spark's EventTimeTimeout EXACTLY, not just its horizon:
     each bucket stores the anchor the fine-grained operator would have armed
     (max(bucket batch-max event ms, watermark at arming)); a bucket is
-    pruned only when the watermark passes anchor + horizon AND the bucket
-    has no arrival in the current batch (Spark never times out a group that
+    pruned only when the watermark STRICTLY passes anchor + horizon (Spark
+    fires a timeout only when timeout < wm, so exact equality keeps) AND
+    the bucket has no arrival in the current batch (Spark never times out a group that
     has data in the trigger — an arrival landing in the first batch past
     the horizon still matches the stored members, exactly as in the
     fine-grained operator); and a touched bucket's anchor is REPLACED, not
@@ -359,7 +365,10 @@ def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
             skeys, sids, shashes, sanchor = state.get
             sanchor = np.asarray(sanchor, dtype=np.int64)
             wm_ms = state.getCurrentWatermarkMs()
-            keep = (sanchor + horizon_ms) > wm_ms
+            # Spark fires an EventTimeTimeout only when timeout < wm
+            # STRICTLY, so a bucket whose expiry equals the watermark is
+            # kept — hence >=.
+            keep = (sanchor + horizon_ms) >= wm_ms
             if keep.any():
                 sanchor = sanchor[keep]
                 state.update((
@@ -390,7 +399,8 @@ def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
 
         wm_ms = state.getCurrentWatermarkMs()
         if wm_ms > 0 and len(sids):
-            keep = (sanchor + horizon_ms) > wm_ms
+            # >= : Spark's timeout fires only when timeout < wm strictly
+            keep = (sanchor + horizon_ms) >= wm_ms
             if not keep.all() and pdf is not None:
                 # Spark does not time out a group with data in the batch
                 keep |= np.isin(skeys, pdf["key"].unique())
@@ -451,8 +461,9 @@ def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
                 _to_signed64(shs) + _to_signed64(new_hashes),
                 anchors,
             ))
-            # earliest bucket expiry (strictly > wm: surviving and touched
-            # buckets all satisfy anchor + horizon > wm by construction)
+            # earliest bucket expiry (valid: surviving and touched buckets
+            # all satisfy anchor + horizon >= wm, and setTimeoutTimestamp
+            # allows equality with the watermark)
             state.setTimeoutTimestamp(min(anchors) + horizon_ms)
         elif state.exists:
             state.remove()  # every bucket evicted, nothing arrived

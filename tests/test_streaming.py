@@ -698,3 +698,80 @@ def test_streaming_dup_stats_restart_recovers_counts(spark, tmp_path,
     # n_seen reaches 2 with first_record_id preserved ONLY if query 2
     # recovered query 1's per-digest state from the checkpoint
     assert got == [("DUP", 1, "r1"), ("DUP", 2, "r1")]
+
+
+@pytest.mark.slow
+def test_streaming_neardup_sharded_equality_boundary(spark, tmp_path):
+    """Exact-equality twin of the horizon-boundary test: Spark fires an
+    EventTimeTimeout only when timeout < watermark STRICTLY, so a bucket
+    whose expiry EQUALS the watermark is still alive in the fine operator.
+    A shard-mate arrival (same shard, different key) invokes the shard in
+    precisely that equality batch; the prune must keep the untouched
+    at-equality bucket or a later same-hash arrival re-seeds instead of
+    matching (the off-by-one this test originally caught). The dup-stats
+    shard shares the identical >= logic."""
+    import os
+    from datetime import datetime, timedelta
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import (
+        streaming_neardup_dedup,
+        streaming_neardup_dedup_sharded,
+    )
+
+    t0 = datetime(2026, 1, 1, 6, 0)
+    P = 0x1111_2222_3333_4444  # band-0 key 0x4444 -> shard 0x4444 % 8 == 4
+
+    def far(band0_key, k):
+        """phash with a chosen band-0 key and far-away other bands."""
+        h = band0_key
+        for band in range(1, 4):
+            h |= (0x7000 + 0x111 * k + 0x10 * band) << (16 * band)
+        return h
+
+    # batch script (watermark = horizon = 2h, all fillers at t0+4h so the
+    # watermark PINS at t0+2h == A1's anchor t0 + horizon — exact equality):
+    #  b1: A1 seeds bucket P (anchor t0)
+    #  b2: far filler       -> wm after: t0+2h (equality reached)
+    #  b3: shard-mate of A1's band-0 bucket (key 0x4454 % 8 == 4): the
+    #      shard is invoked AT equality with A1's bucket untouched
+    #  b4: A3 with A1's exact phash: fine matches in all 4 bands (timer
+    #      t0+2h is NOT < wm t0+2h); sharded must too
+    files = [
+        [("A1", P, t0)],
+        [("f1", far(0x0101, 2), t0 + timedelta(hours=4))],
+        [("m1", far(0x4454, 1), t0 + timedelta(hours=4))],
+        [("A3", P, t0 + timedelta(hours=4))],
+    ]
+    src = str(tmp_path / "eq_src")
+    os.makedirs(src)
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(
+            rows, "image_id string, phash long, ts timestamp").coalesce(1)
+        part_dir = str(tmp_path / f"_eq{i}")
+        df.write.mode("overwrite").parquet(part_dir)
+        part = [p for p in os.listdir(part_dir) if p.endswith(".parquet")][0]
+        os.rename(f"{part_dir}/{part}", f"{src}/file_{i:03d}.parquet")
+    schema = spark.read.parquet(src).schema
+
+    results = {}
+    for name, op in (("fine", streaming_neardup_dedup),
+                     ("sharded", streaming_neardup_dedup_sharded)):
+        stream = read_capture_stream(spark, src, schema,
+                                     max_files_per_trigger=1)
+        kw = {"n_shards": 8} if name == "sharded" else {}
+        q = (
+            op(stream, **kw)
+            .writeStream.format("memory").queryName(f"eq_{name}")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        results[name] = sorted(
+            (r["image_id"], r["band"], r["key"], r["ref_id"], r["hamming"],
+             r["capped"])
+            for r in spark.table(f"eq_{name}").collect()
+        )
+    assert results["sharded"] == results["fine"]
+    # A3 matches A1 in every band — the at-equality bucket stayed alive
+    a3_refs = [t[3] for t in results["fine"] if t[0] == "A3"]
+    assert a3_refs == ["A1"] * 4
