@@ -37,6 +37,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from deduplicator_spark.entry_queries import ORACLES
+    from deduplicator_spark.entry_queries import complete_oracles
 
-    return dict(ORACLES)
+    return dict(complete_oracles())

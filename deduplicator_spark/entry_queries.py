@@ -2808,4 +2808,13 @@ FROM clus c LEFT JOIN dc ON dc.image_id = c.image_id
 """
 
 
-ORACLES["image_dedup_verdicts"] = _image_dedup_verdicts_oracle()
+def complete_oracles() -> dict[str, str]:
+    """ORACLES with the fixture-backed entries resolved. The image oracle's
+    SQL embeds materialized parquet paths and ensure_image_oracle_fixtures()
+    will REGENERATE them on a fresh checkout (minutes of single-process
+    decode/PSNR work) — that must happen when the oracle surface is actually
+    requested, never as an import side effect of this module, which every
+    query entry point pulls in."""
+    if "image_dedup_verdicts" not in ORACLES:
+        ORACLES["image_dedup_verdicts"] = _image_dedup_verdicts_oracle()
+    return ORACLES

@@ -39,18 +39,9 @@ SYNTH_SEED = 42
 FEATS_PATH = os.path.join(FIXTURE_DIR, f"synth_feats_n{SYNTH_N}_s{SYNTH_SEED}.parquet")
 PSNR_PATH = os.path.join(FIXTURE_DIR, f"synth_psnr_n{SYNTH_N}_s{SYNTH_SEED}.parquet")
 
-_U64 = np.uint64
-_SW1 = _U64(0x5555555555555555)
-_SW2 = _U64(0x3333333333333333)
-_SW4 = _U64(0x0F0F0F0F0F0F0F0F)
-_SW01 = _U64(0x0101010101010101)
-
-
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    x = x - ((x >> _U64(1)) & _SW1)
-    x = (x & _SW2) + ((x >> _U64(2)) & _SW2)
-    x = (x + (x >> _U64(4))) & _SW4
-    return (x * _SW01) >> _U64(56)
+# same implementation the streaming match path uses (functions/npbits.py)
+from .functions.npbits import U64 as _U64  # noqa: E402
+from .functions.npbits import popcount64 as _popcount64  # noqa: E402
 
 
 def build_feature_rows(n: int = SYNTH_N, seed: int = SYNTH_SEED):

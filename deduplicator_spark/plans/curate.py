@@ -87,7 +87,12 @@ def _gated_broadcast(df: DataFrame, max_rows: int = MAX_BROADCAST_ROWS,
     """Broadcast ``df`` only when its cardinality is known-small; above the
     bound, return it unhinted so the join shuffles. The count is an extra
     action, so callers pass persist=True when df's lineage is expensive
-    (the persisted frame is what both the count and the join consume)."""
+    (the persisted frame is what both the count and the join consume).
+    The cache lives for the session (the join consumes the returned plan
+    lazily, so there is no safe point to unpersist here); frames gated
+    this way are small by construction and MEMORY_AND_DISK blocks are
+    LRU-evicted under pressure — long-lived sessions doing many curate
+    passes can spark.catalog.clearCache() between them."""
     if persist:
         df = df.persist()
     return F.broadcast(df) if df.count() <= max_rows else df
@@ -110,7 +115,8 @@ def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
         docs.select("doc_id",
                     F.explode(shingles(tokens(F.col("text")), cfg.shingle_k))
                     .alias("shingle"))
-        .join(_gated_broadcast(ev, max_broadcast_rows), "shingle")
+        .join(_gated_broadcast(ev, max_broadcast_rows, persist=True),
+              "shingle")
         .select("doc_id")
         .distinct()
     )
@@ -141,7 +147,7 @@ def eval_contaminated_spans(docs: DataFrame, eval_docs: DataFrame,
         .select("gram").distinct()
     hits = (
         window_grams(docs, k, id_col, text_col)
-        .join(_gated_broadcast(ev, max_broadcast_rows), "gram")
+        .join(_gated_broadcast(ev, max_broadcast_rows, persist=True), "gram")
         .select(id_col, "pos")
     )
     return spans_from_positions(hits, k, id_col)

@@ -32,14 +32,27 @@ STATE_SCHEMA = "n long, first_id string, first_ts long"
 
 _US = 1_000_000  # state timestamps are epoch-microseconds (long)
 
-_DUR_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
-           "hour": 3_600_000, "day": 86_400_000}
+_DUR_US = {"microsecond": 1, "millisecond": 1000, "second": 1_000_000,
+           "minute": 60_000_000, "hour": 3_600_000_000,
+           "day": 86_400_000_000, "week": 604_800_000_000}
 
 
 def _duration_ms(spec: str) -> int:
-    """Parse a Spark duration string ('2 hours', '30 minutes') to ms."""
-    n, unit = spec.strip().split()
-    return int(n) * _DUR_MS[unit.rstrip("s").lower()]
+    """Parse a Spark duration string to ms. Accepts what withWatermark
+    accepts: any case ('2 HOURS'), every CalendarInterval time unit
+    (microseconds..weeks), and compound forms ('1 hour 30 minutes')."""
+    toks = spec.strip().lower().split()
+    if toks and toks[0] == "interval":
+        toks = toks[1:]
+    if len(toks) < 2 or len(toks) % 2:
+        raise ValueError(f"cannot parse duration {spec!r}")
+    total_us = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _DUR_US:
+            raise ValueError(f"unsupported duration unit in {spec!r}: {unit}")
+        total_us += int(n) * _DUR_US[unit]
+    return total_us // 1000
 
 
 def _arm_timeout(state: GroupState, batch_max_event_ms: int,
@@ -256,20 +269,11 @@ NEARDUP_OUTPUT_SCHEMA = ("image_id string, ts timestamp, band int, key long, "
                          "ref_id string, hamming int, capped boolean")
 NEARDUP_STATE_SCHEMA = "ids array<string>, hashes array<long>"
 
-_U64 = np.uint64
-_M1 = _U64(0x5555555555555555)
-_M2 = _U64(0x3333333333333333)
-_M4 = _U64(0x0F0F0F0F0F0F0F0F)
-_H01 = _U64(0x0101010101010101)
-_MASK64 = (1 << 64) - 1
-
-
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit popcount (SWAR) — numpy<2 has no bitwise_count."""
-    x = x - ((x >> _U64(1)) & _M1)
-    x = (x & _M2) + ((x >> _U64(2)) & _M2)
-    x = (x + (x >> _U64(4))) & _M4
-    return (x * _H01) >> _U64(56)
+# shared with the oracle fixture builder so the matched popcount and the
+# fixture-derived popcount are the same implementation by construction
+from ..functions.npbits import MASK64 as _MASK64  # noqa: E402
+from ..functions.npbits import U64 as _U64  # noqa: E402
+from ..functions.npbits import popcount64 as _popcount64  # noqa: E402
 
 
 def _update_band_bucket(max_hamming: int, bucket_cap: int, horizon_ms: int):
@@ -283,9 +287,12 @@ def _update_band_bucket(max_hamming: int, bucket_cap: int, horizon_ms: int):
         ids = list(ids)
         # fixed-capacity uint64 scratch: the stored prefix [0:n) is live.
         # Matching is one vectorized XOR+popcount over it per arriving row
-        # (<= bucket_cap lanes) instead of a per-member Python loop.
-        harr = np.zeros(bucket_cap, dtype=_U64)
+        # (<= bucket_cap lanes) instead of a per-member Python loop. Sized
+        # to the restored state when that exceeds bucket_cap (a restart
+        # with a smaller cap must still MATCH against every stored member;
+        # the n < bucket_cap insert guard stops further growth).
         n = len(ids)
+        harr = np.zeros(max(bucket_cap, n), dtype=_U64)
         harr[:n] = np.array([h & _MASK64 for h in hashes], dtype=_U64)
         out = []
         max_us = 0
@@ -324,10 +331,7 @@ def _update_band_bucket(max_hamming: int, bucket_cap: int, horizon_ms: int):
     return update
 
 
-def _to_signed64(values) -> list:
-    """uint64 values -> Spark signed-long two's-complement wrap."""
-    return [int(v) - (1 << 64) if int(v) >= (1 << 63) else int(v)
-            for v in values]
+from ..functions.npbits import to_signed64 as _to_signed64  # noqa: E402
 
 
 def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
@@ -422,6 +426,10 @@ def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
                 idx = order[lo:hi]
                 nb = idx.size
                 local_ids = [sids[i] for i in idx]
+                if nb > scratch.size:
+                    # restart with a smaller bucket_cap: still match against
+                    # every restored member (insert guard stops growth)
+                    scratch = np.zeros(nb, dtype=_U64)
                 scratch[:nb] = shs[idx]
                 bucket_max_us = 0
                 n_before = len(new_ids)

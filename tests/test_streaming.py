@@ -775,3 +775,83 @@ def test_streaming_neardup_sharded_equality_boundary(spark, tmp_path):
     # A3 matches A1 in every band — the at-equality bucket stayed alive
     a3_refs = [t[3] for t in results["fine"] if t[0] == "A3"]
     assert a3_refs == ["A1"] * 4
+
+
+def test_duration_ms_accepts_what_withwatermark_accepts():
+    """The horizon parser must accept the same delay-threshold strings
+    Spark's withWatermark does: any case, every CalendarInterval time unit,
+    compound forms — it used to KeyError on '2 HOURS' and '1 week'."""
+    from deduplicator_spark.streaming.stateful import _duration_ms
+
+    assert _duration_ms("2 hours") == 7_200_000
+    assert _duration_ms("2 HOURS") == 7_200_000
+    assert _duration_ms("1 week") == 604_800_000
+    assert _duration_ms("1 hour 30 minutes") == 5_400_000
+    assert _duration_ms("500 milliseconds") == 500
+    assert _duration_ms("interval 10 minutes") == 600_000
+    assert _duration_ms("1500 microseconds") == 1
+    for bad in ("", "2", "2 fortnights"):
+        with pytest.raises(ValueError):
+            _duration_ms(bad)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["fine", "sharded"])
+def test_streaming_neardup_restart_smaller_cap_still_matches(
+        spark, tmp_path, variant):
+    """Restarting a checkpointed query with a SMALLER bucket_cap must keep
+    matching against every restored member: the state schema is unchanged
+    so Spark allows the restart, and the match scratch must size itself to
+    the restored state (it used to raise a numpy broadcast ValueError and
+    kill the query every micro-batch)."""
+    from datetime import datetime, timedelta
+
+    from deduplicator_spark.streaming.probe import read_capture_stream
+    from deduplicator_spark.streaming.stateful import (
+        streaming_neardup_dedup,
+        streaming_neardup_dedup_sharded,
+    )
+
+    op = (streaming_neardup_dedup if variant == "fine"
+          else streaming_neardup_dedup_sharded)
+    kw = {} if variant == "fine" else {"n_shards": 8}
+    t0 = datetime(2026, 1, 1, 6, 0)
+    P = 0x1111_2222_3333_4444
+    # three members of the SAME band-0 bucket (low 16 bits equal) that are
+    # mutually non-matching (pairwise Hamming > 3), so all three insert
+    M1, M2, M3 = P, P ^ (0xF << 16), P ^ (0xF << 32)
+    # probe: Hamming 1 from M3 (flip a band-1 bit so the band-0 key is
+    # unchanged), Hamming > 3 from M1 and M2 -> must ref M3, the member a
+    # cap-sized scratch would not even scan
+    D = M3 ^ (1 << 16)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema_str = "image_id string, phash long, ts timestamp"
+
+    def run_once(cap):
+        schema = spark.read.parquet(src).schema
+        stream = read_capture_stream(spark, src, schema,
+                                     max_files_per_trigger=1)
+        q = (
+            op(stream, bucket_cap=cap, **kw)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    _write_batch_file(
+        spark, tmp_path, src, "seed",
+        [("M1", M1, t0), ("M2", M2, t0 + timedelta(minutes=1)),
+         ("M3", M3, t0 + timedelta(minutes=2))], schema_str)
+    run_once(cap=3)
+    _write_batch_file(spark, tmp_path, src, "probe",
+                      [("D", D, t0 + timedelta(minutes=3))], schema_str)
+    run_once(cap=2)  # restart with a smaller cap over 3-member state
+
+    rows = spark.read.parquet(out).collect()
+    d0 = [r for r in rows if r["image_id"] == "D" and r["band"] == 0]
+    assert len(d0) == 1
+    assert d0[0]["ref_id"] == "M3" and d0[0]["hamming"] == 1
+    assert not d0[0]["capped"]

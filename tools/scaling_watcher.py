@@ -38,12 +38,21 @@ def _log(rec: dict) -> None:
 
 
 def probe(width: int = 8, seconds: float = 4.0) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "quiet_probe.py"),
-         str(width), str(seconds)],
-        capture_output=True, text=True, timeout=120,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    """One quiet_probe run; a crashed/empty probe is reported as a
+    zero-score reading (-> logged skip) instead of killing the whole
+    multi-hour campaign with an unlogged traceback."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "quiet_probe.py"),
+             str(width), str(seconds)],
+            capture_output=True, text=True, timeout=120,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # noqa: BLE001 — any probe failure = not quiet
+        _log({"event": "probe_error", "width": width,
+              "err": f"{type(exc).__name__}: {exc}"[:200]})
+        return {"width": width, "score": 0.0,
+                "load1": os.getloadavg()[0]}
 
 
 def main() -> None:

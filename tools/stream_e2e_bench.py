@@ -92,10 +92,12 @@ def write_corpus(n: int) -> None:
             .select(
                 F.format_string("img%012d", F.col("id")).alias("image_id"),
                 # family base; members flip 0/1/2/3 distinct low bits
+                # (0b000/0b001/0b011/0b111 -> Hamming 0..3 from the base,
+                # matching the documented plant and the equivalence tests)
                 F.xxhash64((F.col("id") / 4).cast("long"))
                 .bitwiseXOR(
                     F.element_at(
-                        F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(4)),
+                        F.array(F.lit(0), F.lit(1), F.lit(3), F.lit(7)),
                         (F.col("id") % 4 + 1).cast("int"),
                     )
                 )
@@ -112,12 +114,35 @@ def write_corpus(n: int) -> None:
     spark.stop()
 
 
+def _ensure_corpus(n: int, corpus: str | None = None,
+                   write=None, plant: str = "xor-0-1-3-7") -> None:
+    """(Re)build the corpus when absent OR written for a different n —
+    file_000's existence alone would silently benchmark a stale scale.
+    The plant generation is recorded too, so corpora written by older
+    generator versions rebuild rather than mis-describe the workload."""
+    corpus = corpus or CORPUS
+    write = write or write_corpus
+    # beside, not inside, the corpus dir: the parquet file source would
+    # choke on a stray .json in its listing
+    meta_path = f"{corpus.rstrip('/')}.meta.json"
+    want = {"n": n, "plant": plant}
+    try:
+        with open(meta_path) as f:
+            if json.load(f) == want and os.path.exists(
+                    f"{corpus}/file_000.parquet"):
+                return
+    except (OSError, ValueError):
+        pass
+    write(n)
+    with open(meta_path, "w") as f:
+        json.dump(want, f)
+
+
 def main() -> None:
     op = os.environ.get("STREAM_E2E_OP", "fine")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     widths = [int(w) for w in sys.argv[2:]] or [2, 8]
-    if not os.path.exists(f"{CORPUS}/file_000.parquet"):
-        write_corpus(n)
+    _ensure_corpus(n)
     legs = []
     for w in widths:
         before = os.getloadavg()[0]

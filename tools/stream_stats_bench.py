@@ -97,8 +97,11 @@ def write_corpus(n: int) -> None:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     widths = [int(w) for w in sys.argv[2:]] or [8]
-    if not os.path.exists(f"{CORPUS}/file_000.parquet"):
-        write_corpus(n)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stream_e2e_bench import _ensure_corpus
+
+    _ensure_corpus(n, corpus=CORPUS, write=write_corpus,
+                   plant="digest-families-of-4")
     legs = []
     for op in ("fine", "sharded"):
         for w in widths:
