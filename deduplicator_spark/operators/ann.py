@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .candidates import cap_per_key
+
 ANN_SEED = 7
 ANN_PLANES = 8
 ANN_QUANT = 1000
@@ -89,6 +91,19 @@ def multiprobe_buckets(bucket_col, n_planes: int = ANN_PLANES, radius: int = 1):
                      for m in _flip_masks(n_planes, radius)])
 
 
+def _cos(a: str, b: str):
+    """Exact cosine between two array<double> columns as one Column fold —
+    the single implementation every ANN variant scores with."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+
+    return dot / (norm(F.col(a)) * norm(F.col(b)))
+
+
 def ann_topk_lsh(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  n_planes: int = ANN_PLANES, probe_radius: int = 1,
@@ -113,23 +128,15 @@ def ann_topk_lsh(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
                 F.explode(multiprobe_buckets(F.col("bucket"), n_planes,
                                              probe_radius)).alias("bucket"))
     )
-    corpus = with_lsh_bucket(base, dim, vec_col="v", n_planes=n_planes, seed=seed)
-    wb = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
-    corpus = (
-        corpus.withColumn("_bn", F.row_number().over(wb))
-        .filter(F.col("_bn") <= bucket_cap)
-        .drop("_bn")
-    )
+    corpus = cap_per_key(
+        with_lsh_bucket(base, dim, vec_col="v", n_planes=n_planes, seed=seed),
+        ["bucket"], [F.col(id_col).asc()], bucket_cap)
     cands = F.broadcast(queries).join(corpus.select(id_col, "v", "bucket"), "bucket") \
         .filter(F.col(id_col) != F.col("query_id"))
 
-    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     scored = cands.select(
         "query_id", F.col(id_col).alias("neighbor_id"),
-        (dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("cos"),
+        _cos("qv", "v").alias("cos"),
     ).distinct()  # a pair can collide in several probed buckets
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
@@ -163,13 +170,12 @@ def cosine_neardup_pairs(emb: DataFrame, dim: int, threshold: float = 0.95,
     members" rule.
     """
     base = emb.select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    # persisted for the session (probe + capped sides both read it; the
+    # plan is consumed lazily so there is no safe unpersist point here) —
+    # the same deliberate trade as video.py's frame persist; long-lived
+    # drivers doing many passes can spark.catalog.clearCache() between them
     sig = with_lsh_bucket(base, dim, vec_col="v", n_planes=n_planes, seed=seed).persist()
-    wb = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
-    capped = (
-        sig.withColumn("_bn", F.row_number().over(wb))
-        .filter(F.col("_bn") <= bucket_cap)
-        .drop("_bn")
-    )
+    capped = cap_per_key(sig, ["bucket"], [F.col(id_col).asc()], bucket_cap)
     probes = sig.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"),
         F.explode(multiprobe_buckets(F.col("bucket"), n_planes,
@@ -179,10 +185,6 @@ def cosine_neardup_pairs(emb: DataFrame, dim: int, threshold: float = 0.95,
                                   F.col("v").alias("vb"), "bucket"), "bucket")
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     # canonicalize AFTER the join (not id_a < id_b in it): a capped-out
     # member has a LARGER id than every survivor of its bucket, so ordering
     # inside the join would drop exactly the pairs the uncapped probe side
@@ -191,7 +193,7 @@ def cosine_neardup_pairs(emb: DataFrame, dim: int, threshold: float = 0.95,
     return (
         cands.select(F.least("id_a", "id_b").alias("id_a"),
                      F.greatest("id_a", "id_b").alias("id_b"),
-                     (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"))
+                     _cos("va", "vb").alias("cos"))
         .distinct()  # pairs can collide in several probed buckets + both directions
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
@@ -298,13 +300,9 @@ def ann_topk_ivf(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
         "cid",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
 
-    dot = F.aggregate(F.zip_with("qv", "nv", lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     out = cands.select(
         "query_id", "neighbor_id",
-        (dot / (norm(F.col("qv")) * norm(F.col("nv")))).alias("cos"),
+        _cos("qv", "nv").alias("cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                 F.col("neighbor_id").asc())
@@ -536,12 +534,8 @@ def ann_topk_ivfpq(emb: DataFrame, dim: int, k: int = 5, n_queries: int = 20,
                             F.col("v").alias("qv")), "query_id")
             .join(ev.select(F.col(id_col).alias("neighbor_id"),
                             F.col("v").alias("nv")), "neighbor_id"))
-    dot = F.aggregate(F.zip_with("qv", "nv", lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     out = cand.select("query_id", "neighbor_id",
-                      (dot / (norm(F.col("qv")) * norm(F.col("nv")))).alias("cos"))
+                      _cos("qv", "nv").alias("cos"))
     wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                 F.col("neighbor_id").asc())
     return (out.withColumn("rank", F.row_number().over(wk))

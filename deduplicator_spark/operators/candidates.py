@@ -25,8 +25,20 @@ skew handling:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cap_per_key(df: DataFrame, keys: list[str], order_by: list[Column],
+                cap: int) -> DataFrame:
+    """Deterministic per-key posting cap: keep the first ``cap`` rows of
+    each key group in ``order_by`` order. One sort-based (disk-spillable)
+    window — the shared hot-key guard of the ANN bucket caps and the
+    containment/video posting caps."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("_pn", F.row_number().over(w))
+            .filter(F.col("_pn") <= cap).drop("_pn"))
 
 
 def collect_buckets(
@@ -41,14 +53,25 @@ def collect_buckets(
     from candidate_pairs_from_bands so the salting lever can be measured in
     isolation (tools/skew_bench.py)."""
     frag_cap = pair_cap + 1  # one extra: a complete fragment proves n <= cap
+    # Rank-then-collect, NOT collect-then-slice: slicing a collect_list
+    # still buffers the whole salt group (n/S ids) in one non-spillable
+    # aggregation buffer before the slice. The row_number pre-filter runs
+    # in a sort-based (disk-spillable) window over the same partitioning
+    # the aggregation needs — one Exchange, reused — so no collect_list
+    # buffer ever exceeds frag_cap ids even on a 10M-member band key.
+    salted = banded.withColumn(
+        "_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets)))
+    wsort = Window.partitionBy("band", "key", "_salt").orderBy("image_id")
+    wall = Window.partitionBy("band", "key", "_salt")
     p1 = (
-        banded.groupBy(
-            "band", "key",
-            F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets)).alias("_salt"),
-        )
+        salted
+        .withColumn("_rn", F.row_number().over(wsort))
+        .withColumn("_cnt", F.count("*").over(wall))
+        .filter(F.col("_rn") <= frag_cap)
+        .groupBy("band", "key", "_salt")
         .agg(
-            F.slice(F.sort_array(F.collect_list("image_id")), 1, frag_cap).alias("ids"),
-            F.count("*").alias("cnt"),
+            F.sort_array(F.collect_list("image_id")).alias("ids"),
+            F.first("_cnt").alias("cnt"),
         )
     )
     return (

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, DedupConfig
-from .candidates import canonical_pairs
+from .candidates import canonical_pairs, cap_per_key
 
 
 def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
@@ -48,6 +48,15 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
     with ``verbatim=False`` to let the caller decide per pair)."""
     from .minhash import prepared_features
 
+    if cfg.containment_max_short_tokens >= cfg.containment_min_long_tokens:
+        # overlapping roles would let a pair survive in BOTH orientations
+        # and the canonical join at the end would emit duplicate
+        # (id_a, id_b) rows with conflicting scores
+        raise ValueError(
+            "containment_max_short_tokens must be < "
+            "containment_min_long_tokens (got "
+            f"{cfg.containment_max_short_tokens} >= "
+            f"{cfg.containment_min_long_tokens})")
     sh = prepared if prepared is not None else prepared_features(images, cfg)
     short = sh.filter(F.col("n_tok") <= cfg.containment_max_short_tokens)
     long_ = sh.filter(F.col("n_tok") >= cfg.containment_min_long_tokens)
@@ -65,14 +74,8 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
     # probe join quadratic. A capped hash can only lose candidates whose
     # OTHER 3 probe hashes are also capped-hot — boilerplate-on-boilerplate,
     # which the LSH tier already covers.
-    from pyspark.sql.window import Window
-
-    wh = Window.partitionBy("hash").orderBy(F.col("id_l").asc())
-    target = (
-        target.withColumn("_pn", F.row_number().over(wh))
-        .filter(F.col("_pn") <= cfg.containment_posting_cap)
-        .drop("_pn")
-    )
+    target = cap_per_key(target, ["hash"], [F.col("id_l").asc()],
+                         cfg.containment_posting_cap)
     cands = probe.join(target, "hash").select("id_s", "id_l").distinct()
 
     a = short.select(F.col("image_id").alias("id_s"), F.col("sh_hashes").alias("sh_s"))
@@ -88,7 +91,9 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
     if verbatim or flag_verbatim:
         # whitespace-normalized + space-padded: str.find then means "the
         # short side's token sequence appears contiguously in the long one",
-        # matching the .split() tokenization the shingles were built from
+        # using the SAME tokens() convention (split after space-trim) the
+        # shingles were built from — both paths keep an empty token for
+        # tab/newline-edged captions, so containment and verbatim agree
         norm = lambda c: F.concat(F.lit(" "),
                                   F.concat_ws(" ", F.split(F.trim(c), r"\s+")),
                                   F.lit(" "))

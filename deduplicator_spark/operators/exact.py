@@ -36,8 +36,12 @@ def exact_pairs_from_digests(d: DataFrame) -> DataFrame:
     """Star edges from a precomputed (image_id, digest) frame — lets a fused
     upstream pass (validation_features) supply digests so payload bytes are
     not rescanned (hex sha256 either way)."""
+    # NULL digests (sha2(NULL)=NULL for NULL payloads) must never form a
+    # group: window partitioning would otherwise star-join all corrupt rows
+    # into one bogus exact cluster
     w = Window.partitionBy("digest")
-    grouped = d.withColumn("rep", F.min("image_id").over(w))
+    grouped = d.filter(F.col("digest").isNotNull()) \
+        .withColumn("rep", F.min("image_id").over(w))
     return (
         grouped.filter(F.col("image_id") != F.col("rep"))
         .select(

@@ -17,6 +17,7 @@ Column algebra.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -132,7 +133,10 @@ def _batch_shingle_hashes(captions, k: int) -> tuple[np.ndarray, np.ndarray, np.
     offsets = [0]
     ntok = np.empty(len(captions), dtype=np.int32)
     for r, cap in enumerate(captions):
-        toks = cap.split()
+        # mirror the Column path's tokens() = split(trim(cap), '\s+')
+        # exactly (trim strips spaces only; other edge whitespace yields
+        # empty tokens) so use_arrow=True/False produce identical shingles
+        toks = re.split(r"\s+", cap.strip(" "))
         ntok[r] = len(toks)
         if len(toks) >= k:
             sh = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}

@@ -12,6 +12,8 @@ DeDuplicator.java:169-172 — before any pair may merge clusters.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -85,7 +87,12 @@ def simhash_features(items: DataFrame, id_col: str = "item_id",
             flat: list[str] = []
             offsets = [0]
             for text in pdf[text_col]:
-                toks = text.strip().split() or [""]
+                # exact emulation of the Column/SQL convention
+                # split(trim(text), '\s+'): trim strips SPACES only, and
+                # leading/trailing other whitespace yields empty tokens —
+                # .strip().split() would silently drop those and diverge
+                # from the DuckDB twin on tab/newline-edged text
+                toks = re.split(r"\s+", text.strip(" "))
                 flat.extend(toks)
                 offsets.append(len(flat))
             offs = np.asarray(offsets[:-1], dtype=np.intp)

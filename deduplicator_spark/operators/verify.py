@@ -18,8 +18,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..codecs import decode_image, psnr
+from ..codecs import psnr
 from ..config import DEFAULT, DedupConfig
+from .media import _decode_any
 
 
 def psnr_pairs(pairs: DataFrame, images: DataFrame) -> DataFrame:
@@ -40,7 +41,11 @@ def psnr_pairs(pairs: DataFrame, images: DataFrame) -> DataFrame:
             vals = []
             for ba, bb in zip(pdf["b_a"], pdf["b_b"]):
                 try:
-                    v = psnr(decode_image(bytes(ba)), decode_image(bytes(bb)))
+                    # _decode_any, not raw decode_image: the SAME decode the
+                    # feature/tier pass used (incl. the Pillow fallback for
+                    # real PNG/JPEG), else every candidate pair over real
+                    # codecs silently fails the PSNR gate as psnr=0
+                    v = psnr(_decode_any(bytes(ba)), _decode_any(bytes(bb)))
                 except Exception:
                     v = 0.0
                 vals.append(min(v, 99.0))  # cap inf (byte-identical) at 99 dB

@@ -23,10 +23,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..config import DEFAULT, DedupConfig
 from ..functions.hashing import hamming64, phash_band_keys
+from .candidates import cap_per_key
 
 
 def video_frame_phashes(videos: DataFrame, every_n: int = 2,
@@ -60,21 +60,32 @@ def near_video_pairs_from_frames(frames: DataFrame, cfg: DedupConfig = DEFAULT,
     ).select(id_col, "frame_idx", "frame_phash",
              F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # hot-key cap (black frames / intro cards shared across huge numbers of
-    # videos): deterministic smallest-(video, frame) kept per (band, key)
-    wk = Window.partitionBy("band", "key").orderBy(F.col(id_col).asc(),
-                                                   F.col("frame_idx").asc())
-    banded = (banded.withColumn("_pn", F.row_number().over(wk))
-              .filter(F.col("_pn") <= posting_cap).drop("_pn"))
+    # videos): deterministic smallest-(video, frame) kept per (band, key) —
+    # applied to the TARGET side only. The probe side stays uncapped (the
+    # containment/ANN strategy): a video whose frames all land beyond the
+    # cap still probes INTO the retained postings, so no video is exempt
+    # from matching; only target postings beyond the cap are sacrificed.
+    target = cap_per_key(banded, ["band", "key"],
+                         [F.col(id_col).asc(), F.col("frame_idx").asc()],
+                         posting_cap)
 
     a = banded.select(F.col(id_col).alias("id_a"), F.col("frame_idx").alias("fa"),
                       F.col("frame_phash").alias("pa"), "band", "key")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("frame_idx").alias("fb"),
+    b = target.select(F.col(id_col).alias("id_b"), F.col("frame_idx").alias("fb"),
                       F.col("frame_phash").alias("pb"), "band", "key")
+    swap = F.col("id_a") > F.col("id_b")
     frame_matches = (
         a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
         .filter(hamming64(F.col("pa"), F.col("pb")) <= cfg.phash_max_hamming)
-        .select("id_a", "id_b", "fa", "fb")
+        # canonicalize AFTER the asymmetric join (probe x capped target
+        # finds each orientation at least once; distinct folds repeats)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.when(swap, F.col("fb")).otherwise(F.col("fa")).alias("fa"),
+            F.when(swap, F.col("fa")).otherwise(F.col("fb")).alias("fb"),
+        )
         .distinct()  # one hit per (pair, frame_a, frame_b): bands can collide
     )
     scored = (
