@@ -22,8 +22,10 @@ but in three shuffles instead of a global sort):
 100 TB shape: stage 2 is one groupBy(gram) with map-side partial counts
 (a boilerplate gram collapses to one (gram, count) row per map partition
 before the shuffle — hot grams cost bandwidth O(partitions), not O(rows));
-the repeated-gram set joins back by equi-join (runtime bloom-filter pruned,
-session.py) and stage 3 shuffles each doc's matched positions once, bounded
+the repeated-gram set joins back by SHUFFLED-HASH equi-join (hot is the
+per-partition build side — its cardinality grows with the corpus, so the
+driver-broadcast path is explicitly barred; runtime bloom filter still
+prunes, session.py) and stage 3 shuffles each doc's matched positions once, bounded
 by document length. No sort of the corpus, no suffix array materialization
 — the reference point for THAT approach is the per-pair verifier
 operators/containment.py:verify_substring_pairs (numpy prefix-doubling),
@@ -101,7 +103,14 @@ def repeated_passages(docs: DataFrame, k: int = REPEAT_K,
         .filter(F.col("_c") >= min_count)
         .select("gram")
     )
-    rep = g.join(hot, "gram").select(id_col, "pos")
+    # hot's cardinality grows with the corpus (every boilerplate/syndicated
+    # gram lands in it), so it must NEVER ride the driver-broadcast path:
+    # at 100x gate scale AQE's post-shuffle size estimate still slipped it
+    # under the broadcast threshold and the driver OOM'd building the
+    # relation (BENCH/SF100X_GATE.md). A shuffled hash join with hot as the
+    # per-partition build side bounds memory by partition, not by driver,
+    # and the runtime bloom filter still prunes g's side of the shuffle.
+    rep = g.join(hot.hint("shuffle_hash"), "gram").select(id_col, "pos")
     return spans_from_positions(rep, k, id_col)
 
 

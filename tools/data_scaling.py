@@ -1,0 +1,82 @@
+"""Data-scaling curve: run a cross-section of the tier queries Spark-side at
+1x / 10x / 100x corpus size and record wall time per point, to evidence that
+runtime grows ~linearly with data (the complement of the N-vs-4N CORE-scaling
+pairs in BENCH/SUBMIT_SCALING.md — cores fixed, data swept).
+
+The 10x/100x corpora are `tools/make_sf10x.py` rename-mode shards (bijective
+per-shard token renaming + per-shard embedding sign-flip isometries), so each
+shard reproduces sf0.1's within-shard pair structure and cross-shard work is
+nil by construction: ideal linear scaling is the CORRECT target, and sublinear
+growth means fixed overhead still dominates at that size.
+
+Timing action is a noop-sink write (full materialization, no driver collect).
+Each point records the 1-min loadavg before the run; host noise on this box is
+the known hazard (see BENCH/SUBMIT_SCALING.md disclosure).
+
+Usage: python tools/data_scaling.py [runs] [dir ...]
+  runs: timed runs per (dir, query), best kept (default 1)
+  dirs: default /root/testdata/sf0.1 /tmp/sf10x_ren /tmp/sf100x
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES = [
+    "exact_digest_documents",
+    "minhash_lsh_pairs",
+    "prefix_jaccard_pairs",
+    "containment_pairs",
+    "simhash_neardup_pairs",
+    "dedup_clusters",
+    "curate_corpus",
+    "repeated_passages",
+    "embedding_neardup_pairs",
+    "embedding_dedup_keep",
+    "ann_topk_ivfpq",
+]
+
+
+def load1() -> float:
+    return os.getloadavg()[0]
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    dirs = sys.argv[2:] or [
+        "/root/testdata/sf0.1", "/tmp/sf10x_ren", "/tmp/sf100x"]
+
+    import __spark_entry__ as entry_mod
+    from deduplicator_spark.session import get_spark
+
+    spark = get_spark("data-scaling", cores=32)
+    qs = entry_mod.queries()
+
+    results: dict[str, dict[str, dict]] = {}
+    for d in dirs:
+        results[d] = {}
+        for name in QUERIES:
+            times, loads, rows = [], [], None
+            for _ in range(runs):
+                loads.append(round(load1(), 2))
+                t0 = time.monotonic()
+                df = qs[name](spark, d)
+                df.write.mode("overwrite").format("noop").save()
+                times.append(round(time.monotonic() - t0, 3))
+            rows = qs[name](spark, d).count()
+            results[d][name] = {
+                "best_s": min(times), "runs_s": times,
+                "load1": loads, "rows": rows}
+            print(f"{d} {name}: best {min(times)}s rows={rows} "
+                  f"load1={loads}", flush=True)
+
+    print(json.dumps({"runs": runs, "dirs": dirs, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
