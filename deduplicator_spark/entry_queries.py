@@ -339,7 +339,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= SHINGLE_DF_CAP)
         .select("shingle")
     )
-    e = e.join(rare, "shingle")
+    # rare grows with the corpus (string-keyed, compresses well on the wire)
+    # so it must never ride the driver-broadcast path — same hazard the 100x
+    # gate caught in repeated_passages (BENCH/SF100X_GATE.md): AQE's
+    # compressed-size estimate is not an allocation guarantee.
+    e = e.join(rare.hint("shuffle_hash"), "shingle")
     pairs = (
         e.alias("a")
         .join(e.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))

@@ -64,8 +64,12 @@ def prefix_filtered_pairs(items: DataFrame, t: float = 0.8,
 
     e = sh.select("image_id", F.explode("sh_hashes").alias("h"))
     df_tbl = e.groupBy("h").agg(F.count("*").alias("df"))
+    # df_tbl's cardinality is the corpus's distinct-shingle count — hint it
+    # off the broadcast path (per-partition build side instead of a driver
+    # relation); see BENCH/SF100X_GATE.md for the estimate-vs-allocation
+    # hazard this guards against.
     ranked = (
-        e.join(df_tbl, "h")
+        e.join(df_tbl.hint("shuffle_hash"), "h")
         .withColumn("_rk", F.row_number().over(
             Window.partitionBy("image_id")
             .orderBy(F.col("df").asc(), F.col("h").asc())))
