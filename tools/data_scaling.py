@@ -4,10 +4,16 @@ runtime grows ~linearly with data (the complement of the N-vs-4N CORE-scaling
 pairs in BENCH/SUBMIT_SCALING.md — cores fixed, data swept).
 
 The 10x/100x corpora are `tools/make_sf10x.py` rename-mode shards (bijective
-per-shard token renaming + per-shard embedding sign-flip isometries), so each
-shard reproduces sf0.1's within-shard pair structure and cross-shard work is
-nil by construction: ideal linear scaling is the CORRECT target, and sublinear
-growth means fixed overhead still dominates at that size.
+per-shard token renaming + per-shard embedding sign-flip isometries). For the
+TEXT tiers each shard reproduces sf0.1's within-shard pair structure and
+cross-shard work is nil by construction (disjoint shingle sets): ideal linear
+scaling is the CORRECT target there, and sublinear growth means fixed
+overhead still dominates at that size. The EMBEDDING tiers are different:
+the driver corpus is random vectors, so the near-dup threshold (0.35) sits
+INSIDE the random-sign cosine noise band (p99 ~0.27, max ~0.41 for same-base
+cross-shard copies at dim 64) — cross-shard pairs are genuine and grow
+~quadratically in shard count, i.e. output-bound superlinear growth is the
+correct expectation for embedding_neardup/dedup_keep, not a regression.
 
 Timing action is a noop-sink write (full materialization, no driver collect).
 Each point records the 1-min loadavg before the run; host noise on this box is
