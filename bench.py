@@ -126,6 +126,12 @@ def main() -> None:
     os.makedirs(bench_dir, exist_ok=True)
     with open(os.path.join(bench_dir, "last_run.json"), "w") as fh:
         json.dump(sidecar, fh, indent=1)
+    cores = spark.sparkContext.defaultParallelism
+    # stop BEFORE printing: the driver keeps only a 2,000-char output TAIL,
+    # so any Spark shutdown chatter after the JSON line would displace its
+    # head and the line must be the last bytes the process emits
+    spark.stop()
+    sys.stdout.flush()
     print(json.dumps({
         "metric": f"best-of-{warm}-warm total: {len(qs)} queries "
                   f"({n_oracled} oracled) + e2e image dedup pipeline",
@@ -134,9 +140,8 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "pipeline": pipeline,
-        "cores": spark.sparkContext.defaultParallelism,
+        "cores": cores,
     }, separators=(",", ":")))
-    spark.stop()
 
 
 if __name__ == "__main__":

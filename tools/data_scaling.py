@@ -22,6 +22,8 @@ the known hazard (see BENCH/SUBMIT_SCALING.md disclosure).
 Usage: python tools/data_scaling.py [runs] [dir ...]
   runs: timed runs per (dir, query), best kept (default 1)
   dirs: default /root/testdata/sf0.1 /tmp/sf10x_ren /tmp/sf100x
+  DATA_SCALING_QUERIES=a,b,c limits the query list (e.g. to re-run the
+  output-bound embedding tiers at a size where a full timing is affordable).
 """
 
 from __future__ import annotations
@@ -56,6 +58,9 @@ def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     dirs = sys.argv[2:] or [
         "/root/testdata/sf0.1", "/tmp/sf10x_ren", "/tmp/sf100x"]
+    queries = QUERIES
+    if os.environ.get("DATA_SCALING_QUERIES"):
+        queries = os.environ["DATA_SCALING_QUERIES"].split(",")
 
     import __spark_entry__ as entry_mod
     from deduplicator_spark.session import get_spark
@@ -66,7 +71,7 @@ def main() -> None:
     results: dict[str, dict[str, dict]] = {}
     for d in dirs:
         results[d] = {}
-        for name in QUERIES:
+        for name in queries:
             times, loads, rows = [], [], None
             for _ in range(runs):
                 loads.append(round(load1(), 2))
