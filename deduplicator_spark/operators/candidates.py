@@ -106,8 +106,12 @@ def candidate_pairs_from_bands(
     big_mins = buckets.filter(F.col("n") > pair_cap).select(
         "band", "key", F.element_at("ids", 1).alias("id_a")
     )
+    # big_mins is a corpus-growing string-id aggregate (one row per hot
+    # bucket, unbounded on boilerplate-heavy corpora) — bar it from the
+    # driver-broadcast path like the other aggregates of its class
+    # (BENCH/SF100X_GATE.md): per-partition hash build instead.
     big_pairs = (
-        banded.join(big_mins, ["band", "key"])
+        banded.join(big_mins.hint("shuffle_hash"), ["band", "key"])
         .filter(F.col("image_id") != F.col("id_a"))
         .select("id_a", F.col("image_id").alias("id_b"))
     )

@@ -81,8 +81,12 @@ def containment_pairs(images: DataFrame, cfg: DedupConfig = DEFAULT,
     a = short.select(F.col("image_id").alias("id_s"), F.col("sh_hashes").alias("sh_s"))
     b = long_.select(F.col("image_id").alias("id_l"), F.col("sh_hashes").alias("sh_l"))
     inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_l")))
+    # cands: aggregated (distinct) string-id pair table, corpus-growing —
+    # same broadcast bar as jaccard_verify (BENCH/SF100X_GATE.md); the
+    # second join is sort-merge because the left now carries sh_s arrays
     verified = (
-        cands.join(a, "id_s").join(b, "id_l")
+        cands.hint("shuffle_hash").join(a, "id_s")
+        .hint("merge").join(b, "id_l")
         .withColumn("containment", inter / F.greatest(F.size("sh_s"), F.lit(1)))
         .filter(F.col("containment") >= cfg.containment_threshold)
     )

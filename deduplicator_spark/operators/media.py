@@ -37,7 +37,10 @@ except ImportError:
     _HAVE_PIL = False
 
 
-def _decode_any(payload: bytes) -> np.ndarray:
+def decode_any(payload: bytes) -> np.ndarray:
+    """Canonical payload decode for every consumer (media UDFs and the PSNR
+    verify gate): deterministic FPNG/FJPG first, Pillow fallback when
+    present."""
     try:
         return decode_image(payload)
     except ValueError:
@@ -75,7 +78,7 @@ def image_features(images: DataFrame, safe: bool = False) -> DataFrame:
                 raw = bytes(payload)
                 digest = hashlib.sha256(raw).hexdigest()
                 try:
-                    arr = _decode_any(raw)
+                    arr = decode_any(raw)
                 except Exception:
                     if not safe:
                         raise
@@ -118,7 +121,7 @@ def resize_images(images: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFr
         for pdf in batches:
             rows = []
             for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
-                arr = resize_area_mean(_decode_any(bytes(payload)), out_w, out_h)
+                arr = resize_area_mean(decode_any(bytes(payload)), out_w, out_h)
                 rows.append({
                     "image_id": image_id,
                     "bytes": encode_image(arr, "png"),

@@ -56,8 +56,14 @@ def jaccard_verify(cands: DataFrame, shingled: DataFrame,
     b = sh.withColumnRenamed("image_id", "id_b").withColumnRenamed(col, "sh_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # cands is an aggregated (distinct) all-string pair table that grows
+    # linearly with the corpus — never driver-broadcast it
+    # (BENCH/SF100X_GATE.md). First join builds the narrow pair side
+    # per-partition; the second is pinned sort-merge because its left
+    # input now carries sh_a arrays (too heavy for a hash build).
     return (
-        cands.join(a, "id_a").join(b, "id_b")
+        cands.hint("shuffle_hash").join(a, "id_a")
+        .hint("merge").join(b, "id_b")
         .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -135,8 +141,10 @@ def _batch_shingle_hashes(captions, k: int) -> tuple[np.ndarray, np.ndarray, np.
     for r, cap in enumerate(captions):
         # mirror the Column path's tokens() = split(trim(cap), '\s+')
         # exactly (trim strips spaces only; other edge whitespace yields
-        # empty tokens) so use_arrow=True/False produce identical shingles
-        toks = re.split(r"\s+", cap.strip(" "))
+        # empty tokens; re.ASCII pins \s to the JVM's ASCII-only dialect —
+        # Python's Unicode \s would also split on NBSP and diverge) so
+        # use_arrow=True/False produce identical shingles
+        toks = re.split(r"\s+", cap.strip(" "), flags=re.ASCII)
         ntok[r] = len(toks)
         if len(toks) >= k:
             sh = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}

@@ -91,8 +91,11 @@ def simhash_features(items: DataFrame, id_col: str = "item_id",
                 # split(trim(text), '\s+'): trim strips SPACES only, and
                 # leading/trailing other whitespace yields empty tokens —
                 # .strip().split() would silently drop those and diverge
-                # from the DuckDB twin on tab/newline-edged text
-                toks = re.split(r"\s+", text.strip(" "))
+                # from the DuckDB twin on tab/newline-edged text.
+                # re.ASCII pins \s to the JVM/RE2 dialect ([ \t\n\v\f\r]);
+                # Python's default Unicode \s would also split on NBSP /
+                # U+2009 etc. and diverge on real-world scraped text
+                toks = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
                 flat.extend(toks)
                 offsets.append(len(flat))
             offs = np.asarray(offsets[:-1], dtype=np.intp)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..codecs import psnr
 from ..config import DEFAULT, DedupConfig
-from .media import _decode_any
+from .media import decode_any
 
 
 def psnr_pairs(pairs: DataFrame, images: DataFrame) -> DataFrame:
@@ -41,11 +41,11 @@ def psnr_pairs(pairs: DataFrame, images: DataFrame) -> DataFrame:
             vals = []
             for ba, bb in zip(pdf["b_a"], pdf["b_b"]):
                 try:
-                    # _decode_any, not raw decode_image: the SAME decode the
+                    # decode_any, not raw decode_image: the SAME decode the
                     # feature/tier pass used (incl. the Pillow fallback for
                     # real PNG/JPEG), else every candidate pair over real
                     # codecs silently fails the PSNR gate as psnr=0
-                    v = psnr(_decode_any(bytes(ba)), _decode_any(bytes(bb)))
+                    v = psnr(decode_any(bytes(ba)), decode_any(bytes(bb)))
                 except Exception:
                     v = 0.0
                 vals.append(min(v, 99.0))  # cap inf (byte-identical) at 99 dB

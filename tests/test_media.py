@@ -96,7 +96,7 @@ def test_near_video_pairs(spark):
 def test_real_container_decode_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_video_frames(b"\x00\x00\x00\x20ftypisom....", 1)
-    from deduplicator_spark.operators.media import _decode_any
+    from deduplicator_spark.operators.media import decode_any
 
     with pytest.raises(NotImplementedError):
-        _decode_any(b"\x89PNG\r\n\x1a\n....")  # real PNG, no Pillow here
+        decode_any(b"\x89PNG\r\n\x1a\n....")  # real PNG, no Pillow here

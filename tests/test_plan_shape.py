@@ -50,3 +50,35 @@ def test_ngram_rare_shingle_join_is_shuffled_hash(spark):
 
     df = entry.queries()["ngram_jaccard_pairs"](spark, "/root/testdata/sf0.001")
     assert "ShuffledHashJoin" in _executed_plan(df)
+
+
+def _captions(spark, n=40):
+    rows = [(f"img-{i:012d}",
+             " ".join(f"t{(i * 5 + j) % 60}" for j in range(24)))
+            for i in range(n)]
+    rows += [(f"img-{100 + i:012d}", rows[i][1]) for i in range(4)]
+    return spark.createDataFrame(rows, "image_id string, caption string")
+
+
+def test_minhash_cascade_has_no_broadcast_edge(spark):
+    """near_caption_pairs end-to-end: the big-bucket star join (big_mins)
+    and both jaccard_verify joins ride hinted per-partition strategies —
+    no corpus-growing aggregate may appear as a driver-broadcast relation."""
+    from deduplicator_spark.operators.minhash import near_caption_pairs
+
+    plan = _executed_plan(near_caption_pairs(_captions(spark)))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_containment_verify_joins_are_hinted(spark):
+    """containment_pairs' verify joins: pair side builds per-partition,
+    the array-carrying second join is pinned sort-merge."""
+    from deduplicator_spark.operators.containment import containment_pairs
+
+    short = [(f"img-{500 + i:012d}", "t1 t2 t3 t4 t5") for i in range(3)]
+    df = _captions(spark).unionByName(
+        spark.createDataFrame(short, "image_id string, caption string"))
+    plan = _executed_plan(containment_pairs(df))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" in plan, plan

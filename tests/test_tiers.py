@@ -67,6 +67,29 @@ def test_minhash_pandas_signature_shape(spark, images_500):
     assert all(len(r["sig"]) == DEFAULT.minhash_perms for r in rows)
 
 
+def test_arrow_tokenizer_matches_jvm_on_unicode_whitespace(spark):
+    """prepared_features' Python re tokenizer must count tokens exactly like
+    the JVM's split(trim, '\\s+') — including on NBSP/thin-space text, where
+    Python's default Unicode \\s would split but Java's ASCII \\s does not
+    (pins the re.ASCII flag)."""
+    from deduplicator_spark.functions.hashing import tokens
+    from deduplicator_spark.operators.minhash import prepared_features
+
+    rows = [
+        ("i1", "foo bar baz"),          # NBSP inside a token
+        ("i2", "a b c d e f"),           # thin space inside a token
+        ("i3", "\tplain  ascii text\n"),      # ASCII edge whitespace
+        ("i4", "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    jvm = {r["image_id"]: r["n"]
+           for r in df.select("image_id",
+                              F.size(tokens(F.col("caption"))).alias("n")).collect()}
+    arrow = {r["image_id"]: r["n_tok"]
+             for r in prepared_features(df, with_signatures=False).collect()}
+    assert arrow == jvm
+
+
 def test_near_caption_threshold_respected(spark, images_500):
     pairs = near_caption_pairs(images_500)
     assert pairs.filter(f"score < {DEFAULT.jaccard_threshold}").count() == 0
@@ -199,6 +222,9 @@ def test_simhash_feature_parity(spark):
         (4, ""),
         (5, "single"),
         (6, "the quick brown fox jumps over the lazy dog"),
+        # NBSP + thin space: Unicode whitespace the JVM's ASCII-only \s+
+        # does NOT split on — pins the re.ASCII flag in the Arrow tokenizer
+        (7, "foo bar baz qux quux"),
     ]
     df = spark.createDataFrame(rows, "item_id long, text string")
     md5h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
