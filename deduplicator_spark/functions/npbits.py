@@ -25,6 +25,12 @@ def popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def to_signed64(values) -> list:
-    """uint64 values -> Spark signed-long two's-complement wrap."""
-    return [int(v) - (1 << 64) if int(v) >= (1 << 63) else int(v)
-            for v in values]
+    """uint64 values -> Spark signed-long two's-complement wrap,
+    vectorized (an int64 view, no per-element Python)."""
+    return np.asarray(values, dtype=U64).view(np.int64).tolist()
+
+
+def to_unsigned64(values) -> np.ndarray:
+    """Spark signed-long values -> uint64 array (the inverse
+    two's-complement reinterpretation, also vectorized)."""
+    return np.asarray(values, dtype=np.int64).view(U64)

@@ -92,7 +92,14 @@ def _gated_broadcast(df: DataFrame, max_rows: int = MAX_BROADCAST_ROWS,
     lazily, so there is no safe point to unpersist here); frames gated
     this way are small by construction and MEMORY_AND_DISK blocks are
     LRU-evicted under pressure — long-lived sessions doing many curate
-    passes can spark.catalog.clearCache() between them."""
+    passes can spark.catalog.clearCache() between them.
+
+    Why not leave the join unhinted and let AQE convert SMJ->broadcast at
+    runtime: AQE re-plans only at stage boundaries, AFTER the shuffle map
+    stages materialize — the full exploded-corpus side would write its
+    shuffle before the conversion kicks in, which at 100 TB is exactly the
+    shuffle the plan-time broadcast exists to avoid. An eager count of the
+    SMALL side is the cheapest way to make the hint decision sound."""
     if persist:
         df = df.persist()
     return F.broadcast(df) if df.count() <= max_rows else df

@@ -18,6 +18,7 @@ the same bound as streaming_exact_dedup.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from itertools import compress
 
 import numpy as np
 import pandas as pd
@@ -274,6 +275,7 @@ NEARDUP_STATE_SCHEMA = "ids array<string>, hashes array<long>"
 from ..functions.npbits import MASK64 as _MASK64  # noqa: E402
 from ..functions.npbits import U64 as _U64  # noqa: E402
 from ..functions.npbits import popcount64 as _popcount64  # noqa: E402
+from ..functions.npbits import to_unsigned64 as _to_unsigned64  # noqa: E402
 
 
 def _update_band_bucket(max_hamming: int, bucket_cap: int, horizon_ms: int):
@@ -293,7 +295,7 @@ def _update_band_bucket(max_hamming: int, bucket_cap: int, horizon_ms: int):
         # the n < bucket_cap insert guard stops further growth).
         n = len(ids)
         harr = np.zeros(max(bucket_cap, n), dtype=_U64)
-        harr[:n] = np.array([h & _MASK64 for h in hashes], dtype=_U64)
+        harr[:n] = _to_unsigned64(hashes)
         out = []
         max_us = 0
         frames = [p for p in pdfs if len(p)]
@@ -376,10 +378,10 @@ def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
             if keep.any():
                 sanchor = sanchor[keep]
                 state.update((
-                    [int(k) for k, kp in zip(skeys, keep) if kp],
-                    [i for i, kp in zip(sids, keep) if kp],
-                    [int(h) for h, kp in zip(shashes, keep) if kp],
-                    [int(a) for a in sanchor],
+                    np.asarray(skeys, dtype=np.int64)[keep].tolist(),
+                    list(compress(sids, keep)),
+                    np.asarray(shashes, dtype=np.int64)[keep].tolist(),
+                    sanchor.tolist(),
                 ))
                 state.setTimeoutTimestamp(int(sanchor.min()) + horizon_ms)
             else:
@@ -389,7 +391,7 @@ def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
             skeys, sids, shashes, sanchor = state.get
             sids = list(sids)
             skeys = np.asarray(skeys, dtype=np.int64)
-            shs = np.array([h & _MASK64 for h in shashes], dtype=_U64)
+            shs = _to_unsigned64(shashes)
             sanchor = np.asarray(sanchor, dtype=np.int64)
         else:
             sids = []
@@ -461,10 +463,10 @@ def _update_shard(max_hamming: int, bucket_cap: int, horizon_ms: int):
                     sanchor[idx] = anchor
                 new_anchor.extend([anchor] * (len(new_ids) - n_before))
 
-        anchors = [int(v) for v in sanchor] + new_anchor
+        anchors = sanchor.tolist() + new_anchor
         if anchors:
             state.update((
-                [int(k) for k in skeys] + new_keys,
+                skeys.tolist() + new_keys,
                 sids + new_ids,
                 _to_signed64(shs) + _to_signed64(new_hashes),
                 anchors,

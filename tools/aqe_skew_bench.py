@@ -53,7 +53,11 @@ def planted(spark, n_rows: int, hot_frac: float, n_keys: int):
     width (compression would hide the skew from AQE's size stats)."""
     members = spark.range(n_rows).select(
         F.col("id").alias("member_id"),
-        F.when(F.col("id") % F.lit(int(1 / hot_frac)) == 0, F.lit(0))
+        # exact per-mille gate: id % 1000 < 1000*hot_frac plants EXACTLY
+        # hot_frac of rows on the hot key for any 3-decimal fraction
+        # (int(1/hot_frac) would round 0.4 to every-2nd-row = 50%)
+        F.when(F.pmod(F.col("id"), F.lit(1000))
+               < F.lit(int(round(hot_frac * 1000))), F.lit(0))
         .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)) + 1)
         .cast("long").alias("key"),
         F.concat(F.sha2(F.conv(F.col("id").cast("string"), 10, 16), 256),

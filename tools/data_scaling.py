@@ -63,6 +63,8 @@ def main() -> None:
         queries = os.environ["DATA_SCALING_QUERIES"].split(",")
 
     import __spark_entry__ as entry_mod
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
     from deduplicator_spark.session import get_spark
 
     spark = get_spark("data-scaling", cores=32)
@@ -72,14 +74,21 @@ def main() -> None:
     for d in dirs:
         results[d] = {}
         for name in queries:
-            times, loads, rows = [], [], None
-            for _ in range(runs):
+            times, loads = [], []
+            for i in range(runs):
                 loads.append(round(load1(), 2))
                 t0 = time.monotonic()
                 df = qs[name](spark, d)
+                if i == runs - 1:
+                    # row count rides the last timed execution as a
+                    # CollectMetrics observation — a separate .count()
+                    # would re-execute the whole query (the 100x embedding
+                    # tiers are barely affordable ONCE)
+                    obs = Observation()
+                    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
                 df.write.mode("overwrite").format("noop").save()
                 times.append(round(time.monotonic() - t0, 3))
-            rows = qs[name](spark, d).count()
+            rows = int(obs.get["rows"])
             results[d][name] = {
                 "best_s": min(times), "runs_s": times,
                 "load1": loads, "rows": rows}

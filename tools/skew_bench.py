@@ -49,7 +49,11 @@ def banded_with_hot_key(spark, n_rows: int, hot_frac: float = 0.5,
         .select(
             F.format_string("%012d", "id").alias("image_id"),
             F.lit(0).alias("band"),
-            F.when(F.col("id") % F.lit(int(1 / hot_frac)) == 0, F.lit(0))
+            # exact per-mille gate (int(1/hot_frac) mis-rounds non-1/k
+            # fractions; recorded runs all used 0.5, where both forms
+            # plant exactly half)
+            F.when(F.pmod(F.col("id"), F.lit(1000))
+                   < F.lit(int(round(hot_frac * 1000))), F.lit(0))
             .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_small_keys)) + 1)
             .cast("long").alias("key"),
         )
