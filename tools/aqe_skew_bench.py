@@ -29,7 +29,8 @@ what is under test.
 
 Usage:
     python tools/aqe_skew_bench.py [n_rows] [repeats] [hot_frac]
-Appends a section to BENCH/SKEW.md and prints one JSON line.
+Writes BENCH/SKEW_AQE_LATEST.md (gitignored; merge into curated SKEW.md by
+hand) and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -174,8 +175,9 @@ then performs.
 
 Reproduce: `python tools/aqe_skew_bench.py {n_rows} {repeats} {hot_frac}`
 """
-    with open("/root/repo/BENCH/SKEW.md", "a") as f:
-        f.write(section)
+    # _LATEST sidecar (gitignored) — merge into the curated SKEW.md by hand
+    with open("/root/repo/BENCH/SKEW_AQE_LATEST.md", "w") as f:
+        f.write(section.lstrip())
 
 
 if __name__ == "__main__":

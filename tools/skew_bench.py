@@ -18,7 +18,8 @@ star edges cover every hot-bucket member either way).
 
 Usage:
     python tools/skew_bench.py [n_rows] [repeats]
-Writes BENCH/SKEW.md and prints one JSON line.
+Writes BENCH/SKEW_LATEST.md (gitignored; merge into curated SKEW.md by hand)
+and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -142,7 +143,10 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open("/root/repo/BENCH/SKEW.md", "w") as f:
+    # _LATEST sidecar (gitignored) — the curated SKEW.md carries multiple
+    # hand-merged sections (OOM frontier, AQE A/B); a single re-run must
+    # not clobber them
+    with open("/root/repo/BENCH/SKEW_LATEST.md", "w") as f:
         f.write(f"""# Salted-key skew handling — measured A/B
 
 North rule: "handles band-key skew with salting and AQE skew-join hints".

@@ -19,7 +19,8 @@ are printed; run with two widths to get a streaming N-vs-4N point.
 
 Usage: python tools/stream_e2e_bench.py [n_arrivals] [width ...]
        (defaults: 400000 arrivals, widths 2 and 8)
-Writes BENCH/STREAM_E2E.md.
+Writes BENCH/STREAM_E2E*_LATEST.md (gitignored; merge into the curated
+BENCH/STREAM_E2E*.md by hand).
 """
 
 from __future__ import annotations
@@ -200,7 +201,10 @@ def main() -> None:
     suffix = "" if op == "fine" else f"_{op.upper()}"
     if op == "sharded" and "STREAM_E2E_SHARDS" in os.environ:
         suffix += f"_{os.environ['STREAM_E2E_SHARDS']}"
-    with open(f"/root/repo/BENCH/STREAM_E2E{suffix}.md", "w") as f:
+    # _LATEST sidecar (gitignored), never the curated doc: single re-runs
+    # would silently clobber the multi-width tables + analysis there —
+    # merge by hand, as with SUBMIT_SCALING_LATEST.md
+    with open(f"/root/repo/BENCH/STREAM_E2E{suffix}_LATEST.md", "w") as f:
         f.write("\n".join(md) + "\n")
 
 

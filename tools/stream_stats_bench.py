@@ -11,7 +11,7 @@ tool measures what sharding buys at ingest.
 
 Usage: python tools/stream_stats_bench.py [n_arrivals] [width ...]
        (defaults: 400000 arrivals, width 8)
-Writes BENCH/STREAM_STATS.md.
+Writes BENCH/STREAM_STATS_LATEST.md (gitignored; merge by hand).
 """
 
 from __future__ import annotations
@@ -155,7 +155,8 @@ def main() -> None:
         f"Reproduce: `python tools/stream_stats_bench.py "
         f"{legs[0]['arrivals']} {' '.join(str(w) for w in widths)}`",
     ]
-    with open("/root/repo/BENCH/STREAM_STATS.md", "w") as f:
+    # _LATEST sidecar (gitignored) — merge into the curated doc by hand
+    with open("/root/repo/BENCH/STREAM_STATS_LATEST.md", "w") as f:
         f.write("\n".join(md) + "\n")
 
 
