@@ -1127,6 +1127,42 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ALIGN_COS_T = 0.9  # CLIP-score-style keep threshold (on the rounded score)
+
+
+def q_multimodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style image-caption alignment filter (the LAION-style
+    multimodal curation step): every item carries an image embedding and a
+    caption embedding; keep the pair only when their cosine clears
+    ALIGN_COS_T. The demo pairing is derived deterministically from the
+    embeddings table — item i's image vector is embedding(i); its caption
+    vector is embedding(i) for aligned items but embedding((7i+13) mod N)
+    for the planted ~30% misaligned ones (i mod 10 < 3) — the operator sees
+    only (item_id, image_v, caption_v) and must recover the plant.
+
+    Scale shape: one equi-join on the caption id (both modality tables are
+    corpus-sized at 10^12 rows — shuffle join, NO broadcast) followed by
+    per-row Column algebra inside whole-stage codegen (operators/ann.py::
+    alignment_filter)."""
+    from .operators.ann import alignment_filter
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = emb.agg(F.count("*").alias("n_total"))
+    items = emb.crossJoin(F.broadcast(n)).select(
+        F.col("vec_id").alias("item_id"),
+        F.col("v").alias("image_v"),
+        F.when(F.pmod("vec_id", F.lit(10)) < 3,
+               F.pmod(F.col("vec_id") * 7 + 13, F.col("n_total")))
+        .otherwise(F.col("vec_id")).alias("partner_id"),
+    )
+    caps = emb.select(F.col("vec_id").alias("partner_id"),
+                      F.col("v").alias("caption_v"))
+    return alignment_filter(items.join(caps, "partner_id"),
+                            threshold=ALIGN_COS_T)
+
+
 # --------------------------------------------------------------------------
 # relational core (scan/filter/join/agg/window over the TPC-H-ish tables)
 # --------------------------------------------------------------------------
@@ -2094,6 +2130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "langid_confusion": q_langid_confusion,
     "embedding_topk": q_embedding_topk,
+    "multimodal_alignment": q_multimodal_alignment,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
@@ -2427,6 +2464,24 @@ FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+""",
+    "multimodal_alignment": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT count(*) AS n_total FROM emb),
+items AS (
+  SELECT vec_id AS item_id, v AS image_v,
+         CASE WHEN vec_id % 10 < 3 THEN (vec_id * 7 + 13) % n_total
+              ELSE vec_id END AS partner_id
+  FROM emb, n
+),
+joined AS (
+  SELECT item_id,
+    round(list_dot_product(image_v, e.v)
+          / (sqrt(list_dot_product(image_v, image_v))
+             * sqrt(list_dot_product(e.v, e.v))), 6) AS alignment
+  FROM items JOIN emb e ON e.vec_id = items.partner_id
+)
+SELECT item_id, alignment, alignment >= 0.9 AS keep FROM joined
 """,
 }
 

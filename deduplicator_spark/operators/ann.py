@@ -248,6 +248,31 @@ IVF_NLIST = 16
 IVF_NPROBE = 4
 
 
+def alignment_filter(items: DataFrame, threshold: float = 0.9,
+                     id_col: str = "item_id", img_col: str = "image_v",
+                     cap_col: str = "caption_v") -> DataFrame:
+    """CLIP-score-style multimodal alignment gate (the LAION-style curation
+    step): each item carries an image-modality embedding and a
+    caption-modality embedding; keep the pair only when the cosine between
+    them clears ``threshold``. Emits (id, alignment, keep) — annotate, not
+    drop, so callers can audit the gate (the reference's
+    DeDuplicator.java:183-188 verdict-annotation philosophy applied to a
+    similarity score).
+
+    Scale shape: pure per-row Column algebra over already-joined modality
+    vectors — no shuffle, no UDF; at 10^12 rows this pipelines inside
+    whole-stage codegen on the scan. ``keep`` compares the ROUNDED score so
+    the decision is reproducible cross-engine (a last-ulp fold-order
+    difference cannot flip a verdict at the threshold).
+    """
+    aligned = F.round(_cos(img_col, cap_col), 6)
+    return items.select(
+        id_col,
+        aligned.alias("alignment"),
+        (aligned >= F.lit(threshold)).alias("keep"),
+    )
+
+
 def _dotq(a, b):
     """Exact integer dot product of two quantized arrays (Column)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),

@@ -165,3 +165,32 @@ def test_ann_ivfpq_rerank_restores_recall(spark):
 
     r4, r8 = recall(4), recall(8)
     assert r8 >= r4 >= 0.9, f"rerank recall nprobe4={r4:.3f} nprobe8={r8:.3f}"
+
+
+def test_alignment_filter_threshold_boundary(spark):
+    """CLIP-score gate: identical pair keeps, orthogonal drops, and the
+    decision at the threshold is made on the ROUNDED score (exactly-0.9
+    keeps; 0.8999994 rounds to 0.899999 and drops; 0.8999996 rounds to
+    0.9 and keeps) — the cross-engine reproducibility contract."""
+    import math
+
+    from deduplicator_spark.operators.ann import alignment_filter
+
+    def caption_with_cos(c):
+        return [c, math.sqrt(1.0 - c * c)]
+
+    rows = [
+        ("identical", [1.0, 0.0], [1.0, 0.0]),
+        ("orthogonal", [1.0, 0.0], [0.0, 1.0]),
+        ("at_threshold", [1.0, 0.0], caption_with_cos(0.9)),
+        ("just_below", [1.0, 0.0], caption_with_cos(0.8999994)),
+        ("rounds_up", [1.0, 0.0], caption_with_cos(0.8999996)),
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id string, image_v array<double>, caption_v array<double>")
+    out = {r["item_id"]: r for r in alignment_filter(df, threshold=0.9).collect()}
+    assert out["identical"]["keep"] and out["identical"]["alignment"] == 1.0
+    assert not out["orthogonal"]["keep"] and out["orthogonal"]["alignment"] == 0.0
+    assert out["at_threshold"]["keep"]
+    assert not out["just_below"]["keep"]
+    assert out["rounds_up"]["keep"] and out["rounds_up"]["alignment"] == 0.9
