@@ -1211,6 +1211,28 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, EMB_DIM)
 
 
+def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index LIFECYCLE: commit the IVF-flat inverted file to a parquet
+    StageStore (centroids + cid-partitioned postings, with manifest and
+    per-partition lineage) and probe the PERSISTED artifacts — train once,
+    probe many, the reference's two-job index->probe shape
+    (IndexingLauncher / DeDuplicator.java:149-192) on the embedding
+    payload. The structure is deterministic (plans/ann_index.py), so this
+    round-trips bit-identically to the in-memory q_ann_topk_ivf and shares
+    its DuckDB oracle: a green hash match here proves the STORE+RELOAD
+    path loses nothing, not just the math."""
+    import os
+
+    from .plans.ann_index import build_ann_index, probe_ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = os.path.join("/tmp", "ann_index_store",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    build_ann_index(emb, root)
+    queries = emb.orderBy(F.col("vec_id").asc()).limit(20)
+    return probe_ann_index(spark, root, queries)
+
+
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: the memory-bounded scale path — candidates are scanned as
     nsub-byte product-quantization codes against a broadcast ADC lookup
@@ -2133,6 +2155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_alignment": q_multimodal_alignment,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_index_probe": q_ann_index_probe,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "ann_topk_ivfpq_rerank": q_ann_topk_ivfpq_rerank,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -2705,6 +2728,10 @@ SELECT id_a, id_b, round(score, 6) AS score FROM scored WHERE score >= 0.5
 
 ORACLES["ann_topk_lsh"] = _ann_oracle()
 ORACLES["ann_topk_ivf"] = _ivf_oracle()
+# the persisted-lifecycle route is bit-identical to the in-memory IVF query
+# by construction (plans/ann_index.py) — same oracle, so the gate proves the
+# store+reload path loses nothing
+ORACLES["ann_index_probe"] = _ivf_oracle()
 ORACLES["ann_topk_ivfpq"] = _ivfpq_oracle()
 ORACLES["ann_topk_ivfpq_rerank"] = _ivfpq_rerank_oracle()
 ORACLES["embedding_neardup_pairs"] = _neardup_oracle()

@@ -1,0 +1,120 @@
+"""ANN index lifecycle: train/assign ONCE, persist the inverted file,
+probe many times.
+
+The reference's two-job shape (IndexingLauncher builds a Lucene index once,
+IndexBuilder.java:94-104; the crawl-time DeDuplicator probes it,
+DeDuplicator.java:149-192) applied to the EMBEDDING payload — completing
+the index->probe story across all three payload types: image digest/pHash
+(plans/image_index.py), caption shingles (plans/caption_index.py), and
+embeddings (here). Unlike those two, this lifecycle goes through DISK: the
+inverted-file structure is committed to a parquet StageStore (manifest +
+per-partition lineage, plans/checkpoint.py) and the probe path reads it
+back — train once on Monday, probe every corpus increment after.
+
+The persisted structure is exactly operators/ann.py::ann_topk_ivf's
+IVF-flat layout, which is deterministic by construction (smallest-id
+centroids, integer-quantized assignment dots, no kmeans iterations), so
+the persisted-probe route returns BIT-IDENTICAL rows to the in-memory
+query and shares its DuckDB oracle (`ann_ivf_oracle_sql`) — the oracle
+gate proves store+reload loses nothing.
+
+Scale shape: `centroids` is nlist rows (broadcast at probe time);
+`postings` is the corpus re-keyed by centroid id, written partitioned BY
+cid so a probe's scan prunes to exactly the nprobe lists each query
+selects (partition pruning on the equi-join key — the parquet analog of
+plans/bucketed.py's shuffle-free digest index). Queries never touch the
+other nlist-nprobe lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.ann import ANN_QUANT, IVF_NLIST, IVF_NPROBE, _cos, _dotq
+from .checkpoint import StageStore
+
+
+def _quantized(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return emb.select(
+        id_col,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        F.transform(vec_col, lambda x:
+                    F.round(x.cast("double") * ANN_QUANT).cast("long")).alias("vq"),
+    )
+
+
+def _centroid_scores(eq: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Score every row of ``eq`` against every (broadcast) centroid with the
+    integer-quantized dot — the single assignment math shared by build and
+    probe so persisted assignments and probe-time rankings agree exactly."""
+    return eq.crossJoin(F.broadcast(cent)).select(
+        id_col, "v", "cid",
+        (_dotq(F.col("vq"), F.col("cq")).cast("double")
+         / F.sqrt(_dotq(F.col("cq"), F.col("cq")).cast("double"))).alias("score"),
+    )
+
+
+def build_ann_index(emb: DataFrame, root: str, nlist: int = IVF_NLIST,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> StageStore:
+    """Commit the IVF-flat inverted file for ``emb`` under ``root``:
+    stage `centroids` (cid, cq) and stage `postings` (vec_id, cid, v),
+    the latter partitioned by cid for probe-time pruning."""
+    spark = emb.sparkSession
+    eq = _quantized(emb, vec_col, id_col)
+    cent = eq.orderBy(F.col(id_col).asc()).limit(nlist).select(
+        F.col(id_col).alias("cid"), F.col("vq").alias("cq"))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("cid").asc())
+    assign = (
+        _centroid_scores(eq, cent, id_col)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select(id_col, "cid", "v")
+    )
+    store = StageStore(spark, root)
+    store.write("centroids", cent)
+    store.write("postings", assign, partition_by="cid")
+    return store
+
+
+def probe_ann_index(spark: SparkSession, root: str, queries: DataFrame,
+                    k: int = 5, nprobe: int = IVF_NPROBE,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Probe a persisted index: each query scores the (broadcast) centroid
+    table, visits its ``nprobe`` best lists via an equi-join on cid (the
+    postings scan prunes to those partitions), and exact cosine ranks the
+    candidates — (query_id, neighbor_id, rank, cos), identical rows to
+    ann_topk_ivf when the queries are drawn from the indexed corpus."""
+    store = StageStore(spark, root)
+    cent = store.read("centroids")
+    # partition-column type inference can narrow the directory-derived cid
+    # to int; pin it back to the written long so the probe join is exact
+    postings = store.read("postings").withColumn(
+        "cid", F.col("cid").cast("long"))
+    qs = _quantized(queries, vec_col, id_col)
+    wq = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                            F.col("cid").asc())
+    qprobe = (
+        _centroid_scores(qs, cent, id_col)
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    cands = F.broadcast(qprobe).join(
+        postings.select(F.col(id_col).alias("neighbor_id"),
+                        F.col("v").alias("nv"), "cid"),
+        "cid",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                F.col("neighbor_id").asc())
+    return (
+        cands.select("query_id", "neighbor_id", _cos("qv", "nv").alias("cos"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.round("cos", 6).alias("cos"))
+    )

@@ -104,15 +104,22 @@ class StageStore:
             return False
         return True
 
-    def write(self, stage: str, df: DataFrame) -> DataFrame:
+    def write(self, stage: str, df: DataFrame,
+              partition_by: str | list[str] | None = None) -> DataFrame:
         """Commit a stage: data parquet, per-partition lineage, manifest last
         (the manifest's presence IS the commit — a kill mid-write leaves no
-        manifest and the stage re-runs cleanly on resume)."""
+        manifest and the stage re-runs cleanly on resume). ``partition_by``
+        lays the data out by key directories so later equi-join/filter
+        probes on that key prune their scan (plans/ann_index.py postings)."""
         d = self._dir(stage)
         if os.path.exists(d):
             shutil.rmtree(d)
         data = os.path.join(d, "data")
-        df.write.mode("overwrite").parquet(data)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else partition_by
+            writer = writer.partitionBy(*cols)
+        writer.parquet(data)
 
         out = self.spark.read.parquet(data)
         lineage = (

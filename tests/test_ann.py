@@ -194,3 +194,41 @@ def test_alignment_filter_threshold_boundary(spark):
     assert out["at_threshold"]["keep"]
     assert not out["just_below"]["keep"]
     assert out["rounds_up"]["keep"] and out["rounds_up"]["alignment"] == 0.9
+
+
+def test_ann_index_lifecycle_roundtrip(spark, tmp_path):
+    """The persisted IVF lifecycle (build -> parquet StageStore -> reload ->
+    probe) must return BIT-IDENTICAL rows to the in-memory ann_topk_ivf on
+    the same corpus — including on a sparse, non-contiguous id space — and
+    the probe must plan dynamic partition pruning on the cid-partitioned
+    postings (train once, probe only the selected lists)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deduplicator_spark.operators.ann import ann_topk_ivf
+    from deduplicator_spark.plans.ann_index import (
+        build_ann_index,
+        probe_ann_index,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = [(int(i) * 13 + 5, [float(x) for x in rng.normal(size=16)])
+            for i in range(200)]  # sparse ids: 5, 18, 31, ...
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    root = str(tmp_path / "ann_idx")
+    store = build_ann_index(emb, root)
+    assert store.has("centroids") and store.has("postings")
+
+    queries = emb.orderBy(F.col("vec_id").asc()).limit(20)
+    probed = probe_ann_index(spark, root, queries)
+    expect = ann_topk_ivf(emb, dim=16)
+    assert sorted(map(tuple, probed.collect())) == \
+        sorted(map(tuple, expect.collect()))
+
+    plan = probed._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    # lineage committed for both stages (per-partition rows)
+    stages = {r["stage"] for r in store.lineage().collect()}
+    assert {"centroids", "postings"} <= stages
