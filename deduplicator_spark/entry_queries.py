@@ -1226,8 +1226,11 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.ann_index import build_ann_index, probe_ann_index
 
     emb = load(spark, sf_dir, "embeddings")
-    root = os.path.join("/tmp", "ann_index_store",
-                        os.path.basename(os.path.normpath(sf_dir)))
+    # pid-scoped root: concurrent gate/bench processes must not race on the
+    # same store (StageStore.write clears and rewrites the stage dir)
+    root = os.path.join(
+        "/tmp", "ann_index_store",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
     build_ann_index(emb, root)
     queries = emb.orderBy(F.col("vec_id").asc()).limit(20)
     return probe_ann_index(spark, root, queries)
