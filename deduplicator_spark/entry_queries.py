@@ -419,6 +419,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_retract_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown lifecycle: retract every doc_id % 17 == 3 from the prior
+    clustering and REPAIR incrementally (operators/components.
+    repair_clusters): unaffected clusters pass through verbatim via
+    broadcast anti-joins; only clusters that lost a member are re-closed.
+    Oracle: the FULL recompute over the surviving subgraph (recursive CTE
+    on edges with both endpoints surviving) — a green hash proves the
+    incremental composition equals recomputing from scratch, including
+    splits (retracted cut vertices) and re-labels (retracted min-id reps)."""
+    from .operators.components import repair_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    nodes = docs.select(F.format_string("%012d", "doc_id").alias("image_id"))
+    pairs = canonical_pairs(
+        _lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b"))
+    clusters = connected_components(pairs, nodes=nodes)
+    retracted = docs.filter(F.col("doc_id") % 17 == 3).select(
+        F.format_string("%012d", "doc_id").alias("image_id"))
+    repaired = repair_clusters(clusters, pairs, retracted)
+    return repaired.select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
 edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
@@ -1644,6 +1669,53 @@ WHERE p.doc_id NOT IN (SELECT doc_id FROM exact)
 """
 
 
+def _pipeline_feature_graph(spark: SparkSession, sf_dir: str):
+    """Shared assembly for the pipeline_verdicts / pipeline_metrics gate
+    rows: the REAL plans/pipeline machinery (candidate_edges -> tier-priority
+    edge dedup -> connected_components -> verdicts_from_clusters) over the
+    deterministic feature tables both engines derive from `documents`
+    (digest = md5(text), phash = synth plant, caption = text). Returns
+    (images, edges, verdicts)."""
+    from .operators.candidates import canonical_pairs
+    from .operators.components import connected_components
+    from .plans.pipeline import candidate_edges, verdicts_from_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.col("text").alias("caption"),
+        F.expr(synth_phash_sql("spark", "doc_id")).alias("phash"),
+    ).persist()
+    digests = docs.select(
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.md5("text").alias("digest"),
+    )
+    edges = candidate_edges(
+        imgs, DEFAULT, tiers=("exact", "near_image", "near_caption"),
+        verify_pixels=False, digests=digests,
+    ).persist()
+    clusters = connected_components(
+        canonical_pairs(edges), nodes=imgs.select("image_id"))
+    v = verdicts_from_clusters(imgs, clusters, edges)
+    return imgs, edges, v
+
+
+def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule metrics table as a gate row: plans/pipeline.
+    build_metrics — the SAME lazy counter plan the flagship DedupResult
+    carries (rows scanned, quarantined, per-tier + total verified candidate
+    pairs, merge verdict counts) — evaluated over the deterministic feature
+    graph of q_pipeline_verdicts, so the DuckDB twin can re-derive every
+    counter from the shared CTE graph. No driver collect: the counters stay
+    one aggregation plan, exactly as the reference's AtomicLong crawl
+    counters (DeDuplicator.java:54-94) become queries here."""
+    from .plans.pipeline import build_metrics
+
+    imgs, edges, v = _pipeline_feature_graph(spark, sf_dir)
+    return build_metrics("gate", imgs, edges, v).select(
+        "run_id", "stage", "metric", F.col("value").cast("double").alias("value"))
+
+
 def q_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine proof of the FLAGSHIP pipeline's post-decode graph logic:
     the REAL plans/pipeline machinery (candidate_edges -> tier-priority edge
@@ -1668,27 +1740,7 @@ def q_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition preserves equality. Containment is omitted: raw documents
     are all below the 120-token long gate (its green oracle row uses the
     augmented planted-structure table)."""
-    from .operators.candidates import canonical_pairs
-    from .operators.components import connected_components
-    from .plans.pipeline import candidate_edges, verdicts_from_clusters
-
-    docs = load(spark, sf_dir, "documents")
-    imgs = docs.select(
-        F.format_string("%012d", "doc_id").alias("image_id"),
-        F.col("text").alias("caption"),
-        F.expr(synth_phash_sql("spark", "doc_id")).alias("phash"),
-    ).persist()
-    digests = docs.select(
-        F.format_string("%012d", "doc_id").alias("image_id"),
-        F.md5("text").alias("digest"),
-    )
-    edges = candidate_edges(
-        imgs, DEFAULT, tiers=("exact", "near_image", "near_caption"),
-        verify_pixels=False, digests=digests,
-    ).persist()
-    clusters = connected_components(
-        canonical_pairs(edges), nodes=imgs.select("image_id"))
-    v = verdicts_from_clusters(imgs, clusters, edges)
+    imgs, edges, v = _pipeline_feature_graph(spark, sf_dir)
     return v.select(
         F.col("image_id").cast("long").alias("doc_id"),
         "verdict",
@@ -2169,6 +2221,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_index_probe": q_caption_index_probe,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "pipeline_verdicts": q_pipeline_verdicts,
+    "pipeline_metrics": q_pipeline_metrics,
+    "cluster_retract_repair": q_cluster_retract_repair,
     "near_video_pairs": q_near_video_pairs,
     "image_dedup_verdicts": q_image_dedup_verdicts,
 }
@@ -2403,6 +2457,23 @@ FROM documents
     "prefix_jaccard_pairs": _JACCARD_PAIRS_SQL,
     "containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
+    # full recompute over the surviving subgraph — the incremental repair
+    # on the Spark side must hash-equal this
+    "cluster_retract_repair": f"""
+WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+pe AS (SELECT id_a, id_b FROM p WHERE id_a % 17 <> 3 AND id_b % 17 <> 3),
+edges AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS d FROM pe UNION SELECT id_b, id_a FROM pe
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s
+)
+SELECT doc_id, coalesce(least(doc_id, m), doc_id) AS cluster_id
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3)
+LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = doc_id
+""",
     "cluster_stats": f"""
 WITH cc AS ({_CLUSTERS_SQL}),
 sizes AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY cluster_id)
@@ -2629,8 +2700,13 @@ ORACLES["simhash_neardup_pairs"] = _simhash_pairs_oracle_sql()
 # tier tree (the jaccard leg alone is ~112 s at 10x scale) — that, not the
 # closure (0.2 s on materialized edges), is what ground the 10x gate run
 # past 35 min. Same results, evaluated once.
-ORACLES["pipeline_verdicts"] = f"""
-WITH RECURSIVE
+# Shared CTE block: the full tier->best-edge->closure->cluster graph over
+# the deterministic (md5 digest, synth phash, caption) feature tables. Both
+# the verdict twin (pipeline_verdicts) and the counter twin
+# (pipeline_metrics) select from it, so the two gate rows are views over
+# ONE graph definition — exactly as the Spark side derives verdicts and
+# build_metrics from one DedupResult.
+_PIPELINE_GRAPH_CTES = f"""
 dig AS (SELECT doc_id, md5(text) AS digest FROM documents),
 ex AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2693,13 +2769,49 @@ inc AS (
   SELECT id_a AS doc_id, tier, p FROM best
   UNION ALL SELECT id_b, tier, p FROM best
 ),
-dc AS (SELECT doc_id, arg_min(tier, p) AS dup_class FROM inc GROUP BY doc_id)
+dc AS (SELECT doc_id, arg_min(tier, p) AS dup_class FROM inc GROUP BY doc_id)"""
+
+ORACLES["pipeline_verdicts"] = f"""
+WITH RECURSIVE
+{_PIPELINE_GRAPH_CTES}
 SELECT c.doc_id,
   CASE WHEN c.cluster_id = c.doc_id THEN 'novel' ELSE 'duplicate' END AS verdict,
   CASE WHEN c.cluster_id = c.doc_id THEN 'none' ELSE dc.dup_class END AS dup_class,
   c.cluster_id,
   CASE WHEN c.cluster_id = c.doc_id THEN NULL ELSE c.cluster_id END AS refers_to_id
 FROM clus c LEFT JOIN dc ON dc.doc_id = c.doc_id
+"""
+
+# pipeline_metrics: the north-rule "metrics tables (rows scanned, candidate
+# pairs, merges)" clause as its own cross-engine gate row. The Spark side is
+# the REAL plans/pipeline.build_metrics lazy counter plan over the same
+# DedupResult that pipeline_verdicts assembles; the twin re-derives every
+# counter from the shared graph CTEs above (input rows from the corpus scan,
+# per-tier + total candidate pairs from `best`, merge outcomes from the
+# closure's verdict split). Reference semantics: the AtomicLong crawl
+# counters of DeDuplicator.java:54-94 / IndexBuilder's processing report,
+# generalized to a (run_id, stage, metric, value) table.
+ORACLES["pipeline_metrics"] = f"""
+WITH RECURSIVE
+{_PIPELINE_GRAPH_CTES},
+vt AS (
+  SELECT CASE WHEN cluster_id = doc_id THEN 'novel' ELSE 'duplicate' END AS v
+  FROM clus
+),
+met AS (
+  SELECT 'input' AS stage, 'rows' AS metric,
+         CAST(count(*) AS DOUBLE) AS value FROM documents
+  UNION ALL
+  SELECT 'input', 'quarantined', 0.0
+  UNION ALL
+  SELECT 'candidates', 'verified_pairs', CAST(count(*) AS DOUBLE) FROM best
+  UNION ALL
+  SELECT 'candidates', 'pairs_' || tier, CAST(count(*) AS DOUBLE)
+  FROM best GROUP BY tier
+  UNION ALL
+  SELECT 'verdicts', v, CAST(count(*) AS DOUBLE) FROM vt GROUP BY v
+)
+SELECT 'gate' AS run_id, stage, metric, value FROM met
 """
 
 ORACLES["near_video_pairs"] = f"""

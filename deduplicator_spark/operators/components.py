@@ -148,3 +148,59 @@ def connected_components(
         )
     edges.unpersist()
     return out
+
+
+def repair_clusters(
+    clusters: DataFrame,
+    edges: DataFrame,
+    retracted: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Incremental cluster repair after retracting members (takedown /
+    GDPR-erasure requests): (clusters(image_id, cluster_id) from a prior
+    run, edges(id_a, id_b) canonical verified pairs from the same run,
+    retracted(image_id)) -> the (image_id, cluster_id) assignment a FULL
+    recompute over the surviving subgraph would produce — without running
+    connected components over the corpus again.
+
+    Exactness: a component with no retracted member keeps its node set and
+    every incident edge (removed edges all touch a retracted node, and
+    retracted nodes live only in affected components), so its assignment is
+    carried through VERBATIM; only affected components are re-closed — they
+    may split (the retracted node was a cut vertex) or re-label (it was the
+    min-id representative). The cross-engine oracle proves the composition
+    equals the full recompute.
+
+    Scale: the retraction set is operationally tiny (a takedown batch), so
+    `retracted` and the affected-cluster-id set are broadcast; the corpus-
+    sized inputs (clusters, edges) are each touched by ONE broadcast
+    semi-/anti-join — no shuffle of the 10^12-row assignment, no global CC.
+    The re-closed subgraph is bounded by |retracted| x max cluster size;
+    connected_components on it is a few tasks. The reference analog is
+    IndexBuilder's rebuild-on-change (IndexBuilder.java:94-104, APPEND
+    lifecycle) — this is the subtractive counterpart, done incrementally.
+    """
+    affected = (
+        clusters.join(F.broadcast(retracted.select(id_col)), id_col)
+        .select("cluster_id")
+        .distinct()
+    )
+    survivors = clusters.join(
+        F.broadcast(retracted.select(id_col)), id_col, "left_anti")
+    untouched = survivors.join(
+        F.broadcast(affected), "cluster_id", "left_anti"
+    ).select(id_col, "cluster_id")
+    sub_nodes = survivors.join(F.broadcast(affected), "cluster_id") \
+        .select(id_col)
+    sub_edges = (
+        edges.select("id_a", "id_b")
+        .join(F.broadcast(sub_nodes.select(F.col(id_col).alias("id_a"))),
+              "id_a")
+        .join(F.broadcast(sub_nodes.select(F.col(id_col).alias("id_b"))),
+              "id_b")
+        .select("id_a", "id_b")
+    )
+    repaired = connected_components(
+        sub_edges, nodes=sub_nodes, cfg=cfg, id_col=id_col)
+    return untouched.unionByName(repaired)
