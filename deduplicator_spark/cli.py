@@ -27,6 +27,9 @@ Subcommands:
     probe   the reference's crawl-time path as a batch job: captures vs a
             prebuilt index under one of the four strategies; writes verdicts
             with crawl.log annotations
+    retract takedown repair: drop ids from a prior run's clustering and
+            incrementally re-close only the affected clusters (reads the
+            clusters/ and pairs/ lineage a `run --output` wrote)
 """
 
 from __future__ import annotations
@@ -95,6 +98,8 @@ def cmd_run(args) -> int:
         result.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
         result.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
         result.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+        # verified pair edges: the lineage a later `retract` repair needs
+        result.pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
     else:
         result.verdicts.write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
@@ -142,6 +147,32 @@ def cmd_probe(args) -> int:
     )
     for r in sorted(stats, key=lambda r: (r["verdict"], str(r["dup_class"]))):
         print(f"  {r['verdict']:10s} {str(r['dup_class']):14s} {r['count']}")
+    return 0
+
+
+def cmd_retract(args) -> int:
+    """Takedown repair over a prior `run --output` directory: drop the
+    retracted ids and re-close ONLY the clusters that lost a member
+    (operators/components.repair_clusters) — no corpus-wide recompute."""
+    from .operators.components import repair_clusters
+
+    spark = _spark(args)
+    clusters = spark.read.parquet(f"{args.run_output}/clusters")
+    pairs = spark.read.parquet(f"{args.run_output}/pairs") \
+        .select("id_a", "id_b")
+    if args.ids:
+        retracted = spark.createDataFrame(
+            [(i,) for i in args.ids.split(",")], ["image_id"])
+    else:
+        retracted = spark.read.parquet(args.ids_parquet).select("image_id")
+    repaired = repair_clusters(clusters, pairs, retracted).persist()
+    repaired.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    n_before = clusters.count()
+    n_after = repaired.count()
+    n_clusters = repaired.select("cluster_id").distinct().count()
+    print(f"  rows            {n_before} -> {n_after}")
+    print(f"  retracted       {n_before - n_after}")
+    print(f"  clusters after  {n_clusters}")
     return 0
 
 
@@ -199,7 +230,22 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("--output", required=True)
     pb.set_defaults(fn=cmd_probe)
 
+    pt = sub.add_parser("retract",
+                        help="takedown repair: drop ids from a prior run's "
+                             "clustering, incrementally re-close affected "
+                             "clusters only")
+    pt.add_argument("--run-output", required=True,
+                    help="directory written by `run --output` "
+                         "(needs clusters/ and pairs/)")
+    pt.add_argument("--ids", help="comma-separated image_ids to retract")
+    pt.add_argument("--ids-parquet",
+                    help="parquet with an image_id column (takedown batch)")
+    pt.add_argument("--output", required=True)
+    pt.set_defaults(fn=cmd_retract)
+
     args = p.parse_args(argv)
+    if args.cmd == "retract" and not (args.ids or args.ids_parquet):
+        p.error("retract requires --ids or --ids-parquet")
     return args.fn(args)
 
 

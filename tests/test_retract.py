@@ -10,6 +10,8 @@ same equality against DuckDB on the real corpus.
 
 from __future__ import annotations
 
+import pytest
+
 from deduplicator_spark.operators.components import (
     connected_components,
     repair_clusters,
@@ -66,3 +68,35 @@ def test_repair_noop_when_nothing_retracted(spark):
     empty = spark.createDataFrame([], "image_id string")
     repaired = _assignment(repair_clusters(clusters, edges, empty))
     assert repaired == _assignment(clusters)
+
+
+@pytest.mark.slow
+def test_cli_retract_roundtrip(spark, tmp_path):
+    """run --output writes pairs/ lineage; retract drops a duplicate's
+    cluster representative and the survivor re-labels consistently."""
+    from deduplicator_spark.cli import main
+
+    out = str(tmp_path / "run_out")
+    rc = main(["--cores", "8", "run", "--synth", "200", "--no-verify",
+               "--output", out])
+    assert rc == 0
+    clusters = {r["image_id"]: r["cluster_id"]
+                for r in spark.read.parquet(f"{out}/clusters").collect()}
+    # pick a 2+-member cluster's representative to retract
+    from collections import Counter
+
+    sizes = Counter(clusters.values())
+    rep = next(cid for cid, n in sizes.items() if n >= 2)
+    rc = main(["--cores", "8", "retract", "--run-output", out,
+               "--ids", rep, "--output", str(tmp_path / "fix")])
+    assert rc == 0
+    repaired = {r["image_id"]: r["cluster_id"]
+                for r in spark.read.parquet(f"{tmp_path}/fix/clusters").collect()}
+    assert rep not in repaired
+    assert len(repaired) == len(clusters) - 1
+    # every other member of the retracted rep's cluster got a new label
+    # that is NOT the retracted id, and unaffected rows are untouched
+    for iid, cid in repaired.items():
+        assert cid != rep
+        if clusters[iid] != rep:
+            assert cid == clusters[iid]
