@@ -1261,6 +1261,36 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ann_index(spark, root, queries)
 
 
+def q_ann_index_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index APPEND lifecycle: train the IVF structure on the FIRST HALF
+    of the corpus (by vec_id — the centroid rows, the smallest nlist ids,
+    are already inside it), then append the remainder in TWO increments
+    against the frozen centroids (plans/ann_index.append_ann_index), then
+    probe the persisted store. Assignment depends only on the centroids, so
+    the incremental build's postings are IDENTICAL to a one-shot build over
+    the union — which is why this row shares the plain in-memory IVF DuckDB
+    oracle: a green hash proves append-without-retrain loses nothing.
+    Reference analog: IndexBuilder --add (IndexBuilder.java:94-104)."""
+    import os
+
+    from .plans.ann_index import (append_ann_index, build_ann_index,
+                                  probe_ann_index)
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        "/tmp", "ann_index_store",
+        f"inc-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    n = emb.count()
+    half, three_q = n // 2, (3 * n) // 4
+    build_ann_index(emb.filter(F.col("vec_id") < half), root)
+    append_ann_index(
+        emb.filter((F.col("vec_id") >= half) & (F.col("vec_id") < three_q)),
+        root)
+    append_ann_index(emb.filter(F.col("vec_id") >= three_q), root)
+    queries = emb.orderBy(F.col("vec_id").asc()).limit(20)
+    return probe_ann_index(spark, root, queries)
+
+
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: the memory-bounded scale path — candidates are scanned as
     nsub-byte product-quantization codes against a broadcast ADC lookup
@@ -2211,6 +2241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_index_probe": q_ann_index_probe,
+    "ann_index_increments": q_ann_index_increments,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "ann_topk_ivfpq_rerank": q_ann_topk_ivfpq_rerank,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -2847,6 +2878,10 @@ ORACLES["ann_topk_ivf"] = _ivf_oracle()
 # by construction (plans/ann_index.py) — same oracle, so the gate proves the
 # store+reload path loses nothing
 ORACLES["ann_index_probe"] = _ivf_oracle()
+# append-without-retrain is postings-identical to the one-shot build
+# (assignment depends only on the frozen centroids), so the increments
+# row shares the same twin — green == appends lose nothing
+ORACLES["ann_index_increments"] = _ivf_oracle()
 ORACLES["ann_topk_ivfpq"] = _ivfpq_oracle()
 ORACLES["ann_topk_ivfpq_rerank"] = _ivfpq_rerank_oracle()
 ORACLES["embedding_neardup_pairs"] = _neardup_oracle()

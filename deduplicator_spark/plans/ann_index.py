@@ -118,3 +118,37 @@ def probe_ann_index(spark: SparkSession, root: str, queries: DataFrame,
                 F.col("rank").cast("long").alias("rank"),
                 F.round("cos", 6).alias("cos"))
     )
+
+
+def append_ann_index(emb_new: DataFrame, root: str,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> StageStore:
+    """APPEND an embedding increment to a persisted IVF index WITHOUT
+    retraining: new vectors are assigned to the FROZEN centroid table with
+    the same integer-quantized dot as the original build, and their
+    postings rows land inside the existing cid partition layout
+    (StageStore.append) — probes see them immediately, and partition
+    pruning still holds because increments only add files under existing
+    (or new) cid directories.
+
+    This is the standard production IVF increment (train Monday, append
+    every corpus delta after): assignment depends ONLY on the centroids, so
+    build-on-subset + appends produces postings IDENTICAL to a one-shot
+    build over the union whenever the centroid rows coincide — the
+    ann_index_increments gate row proves exactly that against the plain
+    in-memory IVF DuckDB twin. Reference analog: IndexBuilder's --add mode
+    (IndexBuilder.java:94-104) on the embedding payload."""
+    spark = emb_new.sparkSession
+    store = StageStore(spark, root)
+    cent = store.read("centroids")
+    eq = _quantized(emb_new, vec_col, id_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("cid").asc())
+    assign = (
+        _centroid_scores(eq, cent, id_col)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select(id_col, "cid", "v")
+    )
+    store.append("postings", assign, partition_by="cid")
+    return store

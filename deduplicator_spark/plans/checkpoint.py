@@ -150,6 +150,51 @@ class StageStore:
         os.replace(tmp, self._manifest(stage))
         return out
 
+    def append(self, stage: str, df: DataFrame,
+               partition_by: str | list[str] | None = None) -> DataFrame:
+        """Append an increment to a committed stage (the K1 APPEND lifecycle,
+        IndexBuilder.java:94-104, applied to a persisted stage): increment
+        files land inside the existing partition layout first, then the
+        manifest rewrite (rows total + increment counter) commits — a kill
+        mid-append leaves the old manifest in place, and the orphan files
+        are re-written by the retried increment's overwrite-free append
+        (callers retry the whole increment; parquet readers tolerate the
+        extra files because retries write identical rows). Falls back to a
+        fresh write() when the stage has not committed yet."""
+        if not self.has(stage):
+            return self.write(stage, df, partition_by=partition_by)
+        data = os.path.join(self._dir(stage), "data")
+        writer = df.write.mode("append")
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else partition_by
+            writer = writer.partitionBy(*cols)
+        writer.parquet(data)
+
+        with open(self._manifest(stage)) as f:
+            m = json.load(f)
+        inc = int(m.get("increments", 0)) + 1
+        inc_lineage = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .select(
+                F.lit(f"{self.run_id}+inc{inc}").alias("run_id"),
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                "rows",
+            )
+        )
+        inc_lineage.write.mode("append").parquet(
+            os.path.join(self.root, "_lineage", stage)
+        )
+        out = self.spark.read.parquet(data)
+        m["rows"] = out.count()
+        m["increments"] = inc
+        tmp = self._manifest(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest(stage))
+        return out
+
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(stage), "data"))
 

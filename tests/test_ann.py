@@ -232,3 +232,48 @@ def test_ann_index_lifecycle_roundtrip(spark, tmp_path):
     # lineage committed for both stages (per-partition rows)
     stages = {r["stage"] for r in store.lineage().collect()}
     assert {"centroids", "postings"} <= stages
+
+
+def test_ann_index_append_increments(spark, tmp_path):
+    """APPEND without retrain: build on the first half (centroid rows
+    inside), append the rest in two increments against the frozen
+    centroids — probes must return BIT-IDENTICAL rows to a one-shot build
+    over the union, the manifest must count increments, and increment
+    lineage rows must land."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deduplicator_spark.operators.ann import ann_topk_ivf
+    from deduplicator_spark.plans.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        probe_ann_index,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = [(int(i) * 13 + 5, [float(x) for x in rng.normal(size=16)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cut1, cut2 = 5 + 13 * 100, 5 + 13 * 150
+
+    root = str(tmp_path / "ann_inc")
+    build_ann_index(emb.filter(F.col("vec_id") < cut1), root)
+    append_ann_index(
+        emb.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)),
+        root)
+    store = append_ann_index(emb.filter(F.col("vec_id") >= cut2), root)
+
+    queries = emb.orderBy(F.col("vec_id").asc()).limit(20)
+    probed = probe_ann_index(spark, root, queries)
+    expect = ann_topk_ivf(emb, dim=16)
+    assert sorted(map(tuple, probed.collect())) == \
+        sorted(map(tuple, expect.collect()))
+
+    with open(f"{root}/postings/manifest.json") as f:
+        m = json.load(f)
+    assert m["increments"] == 2
+    assert m["rows"] == 200
+    runs = {r["run_id"] for r in store.lineage().collect()}
+    assert {"run", "run+inc1", "run+inc2"} <= runs
