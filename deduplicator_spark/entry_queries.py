@@ -1699,6 +1699,23 @@ WHERE p.doc_id NOT IN (SELECT doc_id FROM exact)
 """
 
 
+def _pipeline_feature_frames(spark: SparkSession, sf_dir: str):
+    """The deterministic (images, digests) feature frames both engines derive
+    from `documents` (digest = md5(text), phash = synth plant, caption =
+    text) — shared by the pipeline_* and tier_overlap gate rows."""
+    docs = load(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.col("text").alias("caption"),
+        F.expr(synth_phash_sql("spark", "doc_id")).alias("phash"),
+    )
+    digests = docs.select(
+        F.format_string("%012d", "doc_id").alias("image_id"),
+        F.md5("text").alias("digest"),
+    )
+    return imgs, digests
+
+
 def _pipeline_feature_graph(spark: SparkSession, sf_dir: str):
     """Shared assembly for the pipeline_verdicts / pipeline_metrics gate
     rows: the REAL plans/pipeline machinery (candidate_edges -> tier-priority
@@ -1710,16 +1727,8 @@ def _pipeline_feature_graph(spark: SparkSession, sf_dir: str):
     from .operators.components import connected_components
     from .plans.pipeline import candidate_edges, verdicts_from_clusters
 
-    docs = load(spark, sf_dir, "documents")
-    imgs = docs.select(
-        F.format_string("%012d", "doc_id").alias("image_id"),
-        F.col("text").alias("caption"),
-        F.expr(synth_phash_sql("spark", "doc_id")).alias("phash"),
-    ).persist()
-    digests = docs.select(
-        F.format_string("%012d", "doc_id").alias("image_id"),
-        F.md5("text").alias("digest"),
-    )
+    imgs, digests = _pipeline_feature_frames(spark, sf_dir)
+    imgs = imgs.persist()
     edges = candidate_edges(
         imgs, DEFAULT, tiers=("exact", "near_image", "near_caption"),
         verify_pixels=False, digests=digests,
@@ -1777,6 +1786,39 @@ def q_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("dup_class", F.lit("none")).alias("dup_class"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("refers_to_id").cast("long").alias("refers_to_id"),
+    )
+
+
+def q_tier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-overlap ablation report: every verified duplicate pair grouped by
+    the SET of tiers that independently found it ('exact',
+    'exact+near_caption', 'near_image+near_caption', ...) with pair counts —
+    the capacity-planning query that says which tier pays its way at 100 TB
+    (a tier whose pairs are all co-found by a cheaper tier can be switched
+    off; one with a large exclusive signature cannot). Runs the REAL
+    candidate_edges machinery with dedup_pairs=False (the raw per-tier union,
+    before the priority window collapses each pair to its best tier) over the
+    same deterministic feature frames as pipeline_verdicts == a DuckDB twin
+    aggregating the shared tier_edges CTE. One extra shuffle on (id_a, id_b)
+    then a tiny groupBy on the signature string — nothing new materializes.
+    Reference analog: the dup-classification counter split of
+    DeDuplicator.java:194-205, generalized from 'which single class' to
+    'which subset of tiers'."""
+    from .plans.pipeline import candidate_edges
+
+    imgs, digests = _pipeline_feature_frames(spark, sf_dir)
+    raw = candidate_edges(
+        imgs, DEFAULT, tiers=("exact", "near_image", "near_caption"),
+        verify_pixels=False, digests=digests, dedup_pairs=False,
+    )
+    sig = (
+        raw.groupBy("id_a", "id_b")
+        .agg(F.concat_ws("+", F.array_sort(F.collect_set("tier"))).alias("tiers"))
+    )
+    return (
+        sig.groupBy("tiers")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("tiers")
     )
 
 
@@ -2253,6 +2295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "pipeline_verdicts": q_pipeline_verdicts,
     "pipeline_metrics": q_pipeline_metrics,
+    "tier_overlap": q_tier_overlap,
     "cluster_retract_repair": q_cluster_retract_repair,
     "near_video_pairs": q_near_video_pairs,
     "image_dedup_verdicts": q_image_dedup_verdicts,
@@ -2737,7 +2780,7 @@ ORACLES["simhash_neardup_pairs"] = _simhash_pairs_oracle_sql()
 # (pipeline_metrics) select from it, so the two gate rows are views over
 # ONE graph definition — exactly as the Spark side derives verdicts and
 # build_metrics from one DedupResult.
-_PIPELINE_GRAPH_CTES = f"""
+_TIER_EDGES_CTES = f"""
 dig AS (SELECT doc_id, md5(text) AS digest FROM documents),
 ex AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2780,7 +2823,9 @@ tier_edges AS (
   SELECT id_a, id_b, 'exact' AS tier, 1 AS p FROM ex
   UNION ALL SELECT id_a, id_b, 'near_image', 2 FROM ni
   UNION ALL SELECT id_a, id_b, 'near_caption', 3 FROM jp
-),
+)"""
+
+_PIPELINE_GRAPH_CTES = f"""{_TIER_EDGES_CTES},
 best AS MATERIALIZED (
   SELECT id_a, id_b, arg_min(tier, p) AS tier, min(p) AS p
   FROM tier_edges GROUP BY id_a, id_b
@@ -2843,6 +2888,20 @@ met AS (
   SELECT 'verdicts', v, CAST(count(*) AS DOUBLE) FROM vt GROUP BY v
 )
 SELECT 'gate' AS run_id, stage, metric, value FROM met
+"""
+
+# tier_overlap: pairs grouped by the SET of tiers that found them — the twin
+# aggregates the same tier_edges CTE the pipeline graph is built from, so a
+# green row proves the raw (pre-priority-window) per-tier pair sets agree
+# cross-engine, not just the collapsed best-tier edges.
+ORACLES["tier_overlap"] = f"""
+WITH {_TIER_EDGES_CTES},
+dist AS (SELECT DISTINCT id_a, id_b, tier FROM tier_edges),
+sig AS (
+  SELECT id_a, id_b, string_agg(tier, '+' ORDER BY tier) AS tiers
+  FROM dist GROUP BY id_a, id_b
+)
+SELECT tiers, count(*) AS n_pairs FROM sig GROUP BY tiers
 """
 
 ORACLES["near_video_pairs"] = f"""

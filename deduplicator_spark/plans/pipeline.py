@@ -47,11 +47,15 @@ def candidate_edges(images: DataFrame, cfg: DedupConfig = DEFAULT,
                     tiers: tuple[str, ...] = ("exact", "near_image",
                                               "near_caption", "containment"),
                     verify_pixels: bool = True,
-                    digests: DataFrame | None = None) -> DataFrame:
+                    digests: DataFrame | None = None,
+                    dedup_pairs: bool = True) -> DataFrame:
     """Union of verified duplicate edges across the enabled tiers.
 
     ``digests`` (image_id, digest) lets the exact tier reuse digests already
-    computed by an upstream validation pass instead of rescanning bytes."""
+    computed by an upstream validation pass instead of rescanning bytes.
+    ``dedup_pairs=False`` returns the raw union (a pair found by k tiers
+    appears k times, one row per tier) — the input to tier-overlap analysis;
+    the default keeps one edge per pair at the highest-priority tier."""
     parts = []
     prepared = None
     if "near_caption" in tiers or "containment" in tiers:
@@ -75,6 +79,8 @@ def candidate_edges(images: DataFrame, cfg: DedupConfig = DEFAULT,
     edges = parts[0]
     for p in parts[1:]:
         edges = edges.unionByName(p)
+    if not dedup_pairs:
+        return edges
     # one edge per pair: keep the highest-priority tier (exact beats near_*)
     prio = F.coalesce(
         *[F.when(F.col("tier") == t, F.lit(p)) for t, p in TIER_PRIORITY.items()]
