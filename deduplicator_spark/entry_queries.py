@@ -1822,6 +1822,47 @@ def q_tier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overmerge audit: per-cluster edge density over the verified pair graph.
+    Transitive closure is the one step of the cascade that can only grow
+    clusters — LSH banding plus connected components chains A~B~C into
+    {A,B,C} even when A~C was never verified (the classic MinHash-dedup
+    overmerge failure at corpus scale). Density = verified_edges /
+    (size choose 2) is the audit signal: 1.0 means every member pair was
+    independently verified (a clique — safe), values near 2/size mean a bare
+    chain (review before dropping millions of rows). One groupBy on the
+    existing cluster shuffle key and one broadcast-size join — nothing new
+    materializes at 100 TB. Same deterministic feature graph as
+    pipeline_verdicts == a DuckDB twin over the shared graph CTEs.
+    Reference analog: the reference never chains (every duplicate refers
+    directly to an indexed original, DeDuplicator.java:149-205), so its
+    clusters are stars by construction; this query is what makes the
+    generalized closure safe to operate."""
+    imgs, edges, v = _pipeline_feature_graph(spark, sf_dir)
+    sizes = (
+        v.groupBy("cluster_id").agg(F.count("*").alias("size"))
+        .filter(F.col("size") >= 2)
+    )
+    n_edges = (
+        edges.join(
+            v.select(F.col("image_id").alias("id_a"), "cluster_id"), "id_a")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        sizes.join(n_edges, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "size",
+            "n_edges",
+            F.round(
+                F.col("n_edges") / (F.col("size") * (F.col("size") - 1) / F.lit(2.0)),
+                6,
+            ).alias("density"),
+        )
+    )
+
+
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-SimHash near-dup: functions/hashing.simhash64 over caption
     tokens with an engine-portable md5-derived feature hash, then the SAME
@@ -2296,6 +2337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_verdicts": q_pipeline_verdicts,
     "pipeline_metrics": q_pipeline_metrics,
     "tier_overlap": q_tier_overlap,
+    "cluster_cohesion": q_cluster_cohesion,
     "cluster_retract_repair": q_cluster_retract_repair,
     "near_video_pairs": q_near_video_pairs,
     "image_dedup_verdicts": q_image_dedup_verdicts,
@@ -2888,6 +2930,26 @@ met AS (
   SELECT 'verdicts', v, CAST(count(*) AS DOUBLE) FROM vt GROUP BY v
 )
 SELECT 'gate' AS run_id, stage, metric, value FROM met
+"""
+
+# cluster_cohesion: per-cluster verified-edge density over the shared graph
+# CTEs — the overmerge audit (density 1.0 = clique, ~2/size = bare chain).
+ORACLES["cluster_cohesion"] = f"""
+WITH RECURSIVE
+{_PIPELINE_GRAPH_CTES},
+sz AS (
+  SELECT cluster_id, count(*) AS size FROM clus
+  GROUP BY cluster_id HAVING count(*) >= 2
+),
+ne AS (
+  SELECT c.cluster_id, count(*) AS n_edges
+  FROM best b JOIN clus c ON c.doc_id = b.id_a
+  GROUP BY c.cluster_id
+)
+SELECT sz.cluster_id, sz.size, ne.n_edges,
+       round(CAST(ne.n_edges AS DOUBLE) / (sz.size * (sz.size - 1) / 2.0), 6)
+         AS density
+FROM sz JOIN ne ON ne.cluster_id = sz.cluster_id
 """
 
 # tier_overlap: pairs grouped by the SET of tiers that found them — the twin
