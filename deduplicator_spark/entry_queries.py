@@ -514,6 +514,47 @@ def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: hash the near-dup CLUSTER id — not the
+    doc id — into the split buckets, so two near-duplicate documents can
+    never land on opposite sides of the train/eval boundary (the classic
+    benchmark-contamination failure a doc-level random split guarantees at
+    corpus scale: with a 10% eval slice, a duplicated pair straddles the
+    split with p=0.18). Deterministic and engine-portable: bucket =
+    md5('split:' || cluster_id) taken as a 60-bit integer mod 100, < 90 ->
+    train. Reuses the shared persisted LSH tier + the same CC operator as
+    q_dedup_clusters; the split assignment itself is Column algebra on the
+    CC output — zero additional shuffles, so at 100 TB this costs exactly
+    what clustering already cost. Complements q_ngram_decontaminate (which
+    removes eval text already IN the corpus; this prevents the split itself
+    from manufacturing contamination). Reference analog: the reference keys
+    every verdict on the canonical original (DeDuplicator.java:149-205);
+    here the cluster id is that canonical key, applied to split assignment."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    cc = connected_components(
+        canonical_pairs(pairs.select("id_a", "id_b")),
+        nodes=docs.select(F.format_string("%012d", "doc_id").alias("image_id")),
+    ).select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"),
+                               F.col("cluster_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
 _CLUSTER_CTES = _CLUSTERS_SQL.split("SELECT doc_id, coalesce")[0].rstrip()
 _KEEP_BEST_SQL = f"""
 {_CLUSTER_CTES},
@@ -2307,6 +2348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "cluster_stats": q_cluster_stats,
     "cluster_keep_best": q_cluster_keep_best,
+    "leakage_safe_split": q_leakage_safe_split,
     "ngram_decontaminate": q_ngram_decontaminate,
     "eval_span_decontaminate": q_eval_span_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2599,6 +2641,16 @@ SELECT sz AS cluster_size, count(*) AS n_clusters,
 FROM sizes GROUP BY sz
 """,
     "cluster_keep_best": _KEEP_BEST_SQL,
+    # leakage_safe_split: same recursive-CTE closure, same md5-bucket
+    # arithmetic (60-bit hex prefix mod 100) rendered in DuckDB syntax.
+    "leakage_safe_split": f"""
+WITH cc AS ({_CLUSTERS_SQL})
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)),
+                      1, 15) AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split
+FROM cc
+""",
     "ngram_decontaminate": _DECONTAMINATE_SQL,
     "eval_span_decontaminate": _EVAL_SPAN_SQL,
     "repetition_stats": _REPETITION_SQL,
