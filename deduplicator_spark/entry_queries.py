@@ -705,6 +705,90 @@ FROM w
 """
 
 
+# Line/paragraph dedup parameters. The synthetic corpus has no newlines, so
+# "line" is a fixed-width chunk of LINE_W tokens (deterministic and identical
+# in both engines); chunk-texts occurring more than LINE_DUP_K times
+# corpus-wide are boilerplate and excised.
+LINE_W = 4
+LINE_DUP_K = 2
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line/paragraph dedup (Wenzek et al. 2020): count every
+    line's occurrences across the WHOLE corpus, excise lines duplicated more
+    than LINE_DUP_K times (navigation chrome, cookie banners, boilerplate),
+    and reassemble each document from its surviving lines in order. This is
+    the sub-document complement of the doc-level tiers: a page that is 40%
+    boilerplate survives dedup as "novel" yet still poisons training with the
+    repeated 40%; ExactSubstr (operators/passages.py) finds repeated SPANS
+    anywhere, while this pass is the cheap aligned-unit variant every web
+    pipeline runs first. Reference analog: the reference's digest-keyed skip
+    decision (DeDuplicator.java:149-205) applied at line rather than document
+    granularity.
+
+    100 TB shape: chunking is pure Column algebra fused into the scan (no
+    shuffle); the frequency count is a groupBy with map-side partial
+    aggregation, so a cookie banner in 10^9 docs arrives at its reducer as
+    one partial count per map task, not 10^9 rows; the boilerplate list
+    (chunk-texts with freq > K — tiny by construction relative to the corpus)
+    joins back via _gated_broadcast, falling back to a shuffle join above the
+    bound; reassembly is one groupBy on doc_id. Total: two shuffles plus a
+    broadcast."""
+    from .plans.curate import _gated_broadcast
+
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(t) / LINE_W).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * LINE_W + 1, LINE_W)),
+    )
+    ch = docs.select("doc_id", F.posexplode(chunk_arr).alias("cid", "chunk"))
+    boiler = (
+        ch.groupBy("chunk").count()
+        .filter(F.col("count") > LINE_DUP_K)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    return (
+        ch.join(_gated_broadcast(boiler, persist=True), "chunk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("long").alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("is_boiler").isNull(),
+                               F.struct(F.col("cid"), F.col("chunk"))))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS cid,
+         array_to_string(toks[i * {LINE_W} + 1 : i * {LINE_W} + {LINE_W}], ' ')
+           AS chunk
+  FROM t, unnest(range(0, CAST(ceil(len(toks) / {LINE_W}.0) AS BIGINT))) AS u(i)
+),
+boiler AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) > {LINE_DUP_K})
+SELECT ch.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(b.chunk) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(ch.chunk, ' ' ORDER BY ch.cid)
+                  FILTER (WHERE b.chunk IS NULL), '') AS clean_text
+FROM ch LEFT JOIN boiler b USING (chunk)
+GROUP BY ch.doc_id
+"""
+
+
 _DECONTAMINATE_SQL = f"""
 WITH s AS ({_SHINGLES_SQL}),
 ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM s WHERE doc_id % 100 = 0),
@@ -2349,6 +2433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_stats": q_cluster_stats,
     "cluster_keep_best": q_cluster_keep_best,
     "leakage_safe_split": q_leakage_safe_split,
+    "line_dedup": q_line_dedup,
     "ngram_decontaminate": q_ngram_decontaminate,
     "eval_span_decontaminate": q_eval_span_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -2651,6 +2736,7 @@ SELECT doc_id, cluster_id,
             THEN 'train' ELSE 'eval' END AS split
 FROM cc
 """,
+    "line_dedup": _LINE_DEDUP_SQL,
     "ngram_decontaminate": _DECONTAMINATE_SQL,
     "eval_span_decontaminate": _EVAL_SPAN_SQL,
     "repetition_stats": _REPETITION_SQL,
