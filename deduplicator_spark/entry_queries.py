@@ -514,6 +514,76 @@ def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of keep-one-per-cluster (q_cluster_keep_best,
+    which deletes all evidence that some content is popular) or keep-all
+    (which lets a 10^6-copy cluster dominate the loss), keep the top
+    ceil(sqrt(size)) members per near-dup cluster ranked by token count
+    (tiebreak: smallest doc_id), and give every kept member the weight
+    size/quota so the corpus-level expectation is unchanged — duplication is
+    capped at sqrt while the trainer can still upweight popular content.
+    Emits the full audit row per doc: rank, kept flag, weight (0 for
+    dropped). Reference analog: the reference's binary dup/novel verdict
+    (DeDuplicator.java:183-205) generalized to a graded keep policy.
+
+    100 TB shape: identical cost to q_cluster_keep_best — the LSH tier and
+    CC are shared (persisted tier); on top is ONE window over cluster_id
+    (rank + count in the same partition pass). sqrt/ceil/round are Column
+    algebra; no new shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    cc = connected_components(
+        canonical_pairs(pairs.select("id_a", "id_b")),
+        nodes=docs.select(F.format_string("%012d", "doc_id").alias("image_id")),
+    ).select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    tok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc())
+    sz = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    j = (cc.join(tok, "doc_id")
+         .withColumn("rank", F.row_number().over(w))
+         .withColumn("_sz", sz))
+    quota = F.ceil(F.sqrt(F.col("_sz")))
+    kept = F.col("rank") <= quota
+    return j.select(
+        "doc_id", "cluster_id",
+        F.col("rank").cast("long").alias("rank"),
+        kept.alias("kept"),
+        F.when(kept, F.round(F.col("_sz") / quota, 6)).otherwise(F.lit(0.0))
+        .alias("weight"),
+    )
+
+
+_DOWNSAMPLE_SQL = """
+{ctes},
+clusters AS (
+  SELECT doc_id, coalesce(least(doc_id, m), doc_id) AS cluster_id
+  FROM documents LEFT JOIN (SELECT s, min(d) AS m FROM reach GROUP BY s) ON s = doc_id
+),
+tok AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY t.n_tok DESC, c.doc_id ASC) AS rank,
+         count(*) OVER (PARTITION BY c.cluster_id) AS sz
+  FROM clusters c JOIN tok t USING (doc_id)
+)
+SELECT doc_id, cluster_id, CAST(rank AS BIGINT) AS rank,
+       rank <= ceil(sqrt(sz)) AS kept,
+       CASE WHEN rank <= ceil(sqrt(sz))
+            THEN round(sz * 1.0 / ceil(sqrt(sz)), 6) ELSE 0.0 END AS weight
+FROM ranked
+"""
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/eval split: hash the near-dup CLUSTER id — not the
     doc id — into the split buckets, so two near-duplicate documents can
@@ -2432,6 +2502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "cluster_stats": q_cluster_stats,
     "cluster_keep_best": q_cluster_keep_best,
+    "cluster_downsample": q_cluster_downsample,
     "leakage_safe_split": q_leakage_safe_split,
     "line_dedup": q_line_dedup,
     "ngram_decontaminate": q_ngram_decontaminate,
@@ -2726,6 +2797,9 @@ SELECT sz AS cluster_size, count(*) AS n_clusters,
 FROM sizes GROUP BY sz
 """,
     "cluster_keep_best": _KEEP_BEST_SQL,
+    # cluster_downsample: same recursive-CTE closure; sqrt-quota + weight
+    # arithmetic rendered identically (double sqrt/ceil in both engines).
+    "cluster_downsample": _DOWNSAMPLE_SQL.format(ctes=_CLUSTER_CTES),
     # leakage_safe_split: same recursive-CTE closure, same md5-bucket
     # arithmetic (60-bit hex prefix mod 100) rendered in DuckDB syntax.
     "leakage_safe_split": f"""
