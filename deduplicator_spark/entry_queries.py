@@ -2265,6 +2265,71 @@ def q_events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity closes a session
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands over the event stream): per user,
+    consecutive events separated by <= 30 minutes belong to one session; a
+    longer gap opens a new one. Emits one row per session with start/end,
+    event count, distinct event types, and summed value — the batch twin of
+    the streaming session-window aggregation. Gap arithmetic runs on integer
+    MICROSECONDS (unix_micros / epoch_us) so both engines decide boundaries
+    identically; timestamps are emitted as formatted strings per the parity
+    rules.
+
+    100 TB shape: ONE shuffle on user_id; the lag, running session counter,
+    and the final per-session aggregate all share that partitioning (the
+    groupBy keys are a superset of the window partition key, so no second
+    exchange). Per-user data is bounded (human event rates), so no skew
+    salting is needed; a bot-grade hot user would be the one key to salt."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; the session tz is UTC, so the
+    # cast is a pure reinterpretation and unix_micros stays exact.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)).over(w)
+    return (
+        e.withColumn("_sess", sess)
+        .groupBy("user_id", "_sess")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", F.col("_sess").cast("long").alias("session_no"),
+                "session_start", "session_end", "n_events", "n_types",
+                "total_value")
+    )
+
+
+_SESSIONS_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM g
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_no,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM s GROUP BY user_id, sess
+"""
+
+
 def q_lastwins_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 last-wins upsert: latest capture per (url, digest)."""
     c = captures_from_events(load_events(spark, sf_dir)).filter(F.col("status") == 200)
@@ -2481,6 +2546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_json_stats": q_events_json_stats,
     "events_minute_rollup": q_events_minute_rollup,
+    "user_sessions": q_user_sessions,
     "canonicalize_urls": q_canonicalize_urls,
     "strategy_url_exact": _strategy_query("URL_EXACT"),
     "strategy_url_canonical": _strategy_query("URL_CANONICAL"),
@@ -2608,6 +2674,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
   count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    "user_sessions": _SESSIONS_SQL,
     "canonicalize_urls": f"""
 WITH u AS (
   SELECT event_id,
