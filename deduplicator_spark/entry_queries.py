@@ -2265,6 +2265,114 @@ def q_events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per language, EXACT token-count percentiles
+    (p10/p50/p90/p99, linear interpolation), mean, and doc count — the
+    length-distribution report that calibrates quality-filter thresholds
+    (Gopher's length gates) and partition sizing before a full run. Exact
+    percentile (not approx_percentile) so the DuckDB twin matches bit-for-
+    bit after round(6); both engines use linear interpolation.
+
+    100 TB shape: exact per-group percentiles shuffle each group's values to
+    one reducer — fine here because the group count is tiny (languages) and
+    per-group values are bounded numeric longs (~8 B/doc: a 10^9-doc
+    language is ~8 GB — near the comfort edge; the documented relaxation is
+    approx_percentile with a stated error budget, same plan shape).
+    mean/count piggyback as map-side partial aggregates."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    pct = F.percentile(F.col("n_tok"), F.array(*[F.lit(p) for p in
+                                                 (0.1, 0.5, 0.9, 0.99)]))
+    return (
+        docs.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.round(F.avg("n_tok"), 6).alias("mean_tok"),
+             pct.alias("_p"))
+        .select("lang", "n_docs", "mean_tok",
+                F.round(F.col("_p")[0], 6).alias("p10"),
+                F.round(F.col("_p")[1], 6).alias("p50"),
+                F.round(F.col("_p")[2], 6).alias("p90"),
+                F.round(F.col("_p")[3], 6).alias("p99"))
+    )
+
+
+_LENGTH_PROFILE_SQL = """
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_tok), 6) AS mean_tok,
+       round(quantile_cont(n_tok, 0.1), 6) AS p10,
+       round(quantile_cont(n_tok, 0.5), 6) AS p50,
+       round(quantile_cont(n_tok, 0.9), 6) AS p90,
+       round(quantile_cont(n_tok, 0.99), 6) AS p99
+FROM t GROUP BY lang
+"""
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinctive-term extraction (TF-IDF-style keywording): the
+    top 3 tokens per document ranked by document-frequency-penalized term
+    frequency. The ranking key is tf * 10^9 DIV df — INTEGER-EXACT in both
+    engines — rather than tf*ln(N/df), because cross-engine transcendental
+    functions (JVM StrictMath vs libm) can differ in the last ulp and flip
+    ranks between mathematically-equal scores; the integer surrogate is
+    order-equivalent to tf/df (a monotone transform of TF-IDF at fixed N)
+    and keeps the oracle hash-stable. Ties break on token text.
+
+    100 TB shape: explode -> groupBy(doc_id, tok) builds term counts with
+    map-side combine; df is a second aggregate over the (doc, tok)-distinct
+    rows (so a stopword arrives at its reducer as partial counts, not raw
+    postings); the df join back is on token — stopwords make it the skewed
+    join AQE skew-split handles (the df side has ONE row per token, so no
+    broadcast needed beyond vocabulary scale); the final top-3 is one window
+    on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    term = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    df_t = term.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = term.join(df_t, "tok").withColumn(
+        "score_ppb", F.expr("tf * 1000000000L div df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppb").desc(), F.col("tok").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("tok").alias("token"), "tf", "df",
+                "score_ppb", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_DISTINCTIVE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+term AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM term GROUP BY tok),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         t.tf * 1000000000 // d.df AS score_ppb
+  FROM term t JOIN dft d USING (tok)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_ppb DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, tok AS token, tf, df, CAST(score_ppb AS BIGINT) AS score_ppb,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity closes a session
 
 
@@ -2547,6 +2655,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_stats": q_events_json_stats,
     "events_minute_rollup": q_events_minute_rollup,
     "user_sessions": q_user_sessions,
+    "corpus_length_profile": q_corpus_length_profile,
+    "distinctive_terms": q_distinctive_terms,
     "canonicalize_urls": q_canonicalize_urls,
     "strategy_url_exact": _strategy_query("URL_EXACT"),
     "strategy_url_canonical": _strategy_query("URL_CANONICAL"),
@@ -2675,6 +2785,8 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
 FROM events GROUP BY 1, 2
 """,
     "user_sessions": _SESSIONS_SQL,
+    "corpus_length_profile": _LENGTH_PROFILE_SQL,
+    "distinctive_terms": _DISTINCTIVE_SQL,
     "canonicalize_urls": f"""
 WITH u AS (
   SELECT event_id,
