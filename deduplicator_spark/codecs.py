@@ -91,6 +91,55 @@ def decode_video_frames(payload: bytes, every_n: int = 1) -> list[np.ndarray]:
     return out
 
 
+MAGIC_AUD = b"FAUD"
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Deterministic fake audio container: u32 sample rate, u32 sample
+    count, zlib'd int16 PCM. Real wav/mp3/flac decode needs libs absent from
+    this container; the Spark-side plumbing (binary column -> Arrow-batched
+    fingerprinting) is identical either way."""
+    s = np.asarray(samples, dtype=np.int16)
+    return (MAGIC_AUD + struct.pack("<II", sample_rate, s.size)
+            + zlib.compress(s.tobytes(), 6))
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) of an FAUD payload. Raises
+    NotImplementedError for real containers (clearly-marked stub: swap in
+    soundfile/ffmpeg in production)."""
+    if payload[:4] != MAGIC_AUD:
+        raise NotImplementedError(
+            "real audio decode (wav/mp3/flac) requires soundfile/ffmpeg; "
+            "only the deterministic FAUD test container is supported here"
+        )
+    rate, n = struct.unpack("<II", payload[4:12])
+    raw = zlib.decompress(payload[12:])
+    return rate, np.frombuffer(raw, dtype=np.int16)[:n]
+
+
+def audio_subfingerprints(samples: np.ndarray, win: int = 1024,
+                          bands: int = 16) -> np.ndarray:
+    """Haitsma-Kalker-style subfingerprints: split the waveform into
+    fixed-length windows, compute per-band energies (contiguous bands stand
+    in for the FFT filterbank real pipelines use — the container has no FFT
+    dependency), and emit one integer per window whose bits are the SIGNS of
+    the band-energy differences differentiated across time:
+    bit[b] = (E[t,b]-E[t,b+1]) - (E[t-1,b]-E[t-1,b+1]) > 0. Signs survive
+    volume scaling and mild noise, which is what makes exact-match joins on
+    subfingerprints a sound candidate generator. Returns int64[n_windows-1]
+    (window t's print uses windows t-1 and t). Fully vectorized numpy."""
+    s = samples.astype(np.float64)
+    n_win = s.size // win
+    if n_win < 2:
+        return np.zeros(0, dtype=np.int64)
+    e = (s[:n_win * win].reshape(n_win, bands, win // bands) ** 2).mean(axis=2)
+    d = e[:, :-1] - e[:, 1:]            # (n_win, bands-1) band deltas
+    bits = (d[1:] - d[:-1]) > 0          # (n_win-1, bands-1) time-diffed signs
+    weights = (1 << np.arange(bands - 1, dtype=np.int64))
+    return (bits.astype(np.int64) * weights).sum(axis=1)
+
+
 def resize_area_mean(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Deterministic area-mean resample to (out_h, out_w, 3) uint8."""
     h, w = arr.shape[0], arr.shape[1]

@@ -2190,6 +2190,88 @@ def q_near_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_audio_print_sql(dialect: str, x: str = "doc_id") -> str:
+    """Subfingerprints for synthetic audios: audio_id = x DIV 20 (20 windows
+    each), print base shared between partner audios 2a / 2a+1
+    (group = x DIV 40). The odd partner is the same clip SHIFTED by 3
+    windows: its window w carries the base print of window w+3, for w < 17
+    in strong groups (aligned matches 17/20 -> score 0.85 >= the 0.5 gate)
+    and w < 8 in weak groups g%4==3 (8/20 = 0.4 — negative control below the
+    gate); remaining windows are per-row noise prints."""
+    o = _synth_ops(dialect)
+    g = o["DIV"](x, "40")
+    aid = o["DIV"](x, "20")
+    wn = f"({x} % 20)"
+    base_shift = o["H"](f"'aw:' || CAST({g} AS STRING) || ':' || CAST({wn} + 3 AS STRING)")
+    base = o["H"](f"'aw:' || CAST({g} AS STRING) || ':' || CAST({wn} AS STRING)")
+    noise = o["H"](f"'an:' || CAST({x} AS STRING)")
+    odd = f"(({aid}) % 2 = 1)"
+    aligned = f"(CASE WHEN ({g}) % 4 = 3 THEN 8 ELSE 17 END)"
+    return (f"CASE WHEN {odd} AND {wn} < {aligned} THEN {base_shift}"
+            f" WHEN {odd} THEN {noise}"
+            f" ELSE {base} END")
+
+
+def q_near_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio tier's cross-engine proof: operators/audio.
+    near_audio_pairs_from_prints (hot-print drop + exact subfingerprint
+    equi-join + offset-consistent alignment vote + best-offset scoring) over
+    synthetic window prints == the identical derivation in SQL (oracle).
+    Odd partner audios are shift-by-3 re-masters: strong groups align 17/20
+    windows at offset +3 (score 0.85), weak groups g%4==3 align 8/20 (0.4,
+    below the 0.5 gate — proves the gate binds). The planted print
+    frequencies stay far below AUDIO_PRINT_CAP, and the cap rule itself is
+    mirrored in the oracle's HAVING clause, so parity holds even where it
+    would bind at larger scale."""
+    from .operators.audio import near_audio_pairs_from_prints
+
+    docs = load(spark, sf_dir, "documents")
+    prints = docs.select(
+        F.format_string("%012d", F.expr("doc_id DIV 20")).alias("audio_id"),
+        (F.col("doc_id") % 20).cast("int").alias("win_idx"),
+        F.expr(synth_audio_print_sql("spark", "doc_id")).alias("print"),
+    )
+    pairs = near_audio_pairs_from_prints(prints)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "offset", "n_matched", "score",
+    )
+
+
+def _near_audio_oracle() -> str:
+    from .operators.audio import AUDIO_MIN_SHARED, AUDIO_PRINT_CAP
+
+    return f"""
+WITH pr AS (
+  SELECT doc_id // 20 AS aid, CAST(doc_id % 20 AS INTEGER) AS win,
+         {synth_audio_print_sql("duckdb", "doc_id")} AS print
+  FROM documents
+),
+nw AS (SELECT aid, CAST(count(*) AS BIGINT) AS n_win FROM pr GROUP BY aid),
+keep AS (SELECT print FROM pr GROUP BY print
+         HAVING count(*) <= {AUDIO_PRINT_CAP}),
+p2 AS (SELECT pr.* FROM pr JOIN keep USING (print)),
+votes AS (
+  SELECT a.aid AS ia, b.aid AS ib, a.win - b.win AS delta,
+         CAST(count(*) AS BIGINT) AS n_matched
+  FROM p2 a JOIN p2 b ON a.print = b.print AND a.aid < b.aid
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY ia, ib
+                               ORDER BY n_matched DESC, delta ASC) AS rn
+  FROM votes
+)
+SELECT b.ia AS id_a, b.ib AS id_b, CAST(b.delta AS BIGINT) AS offset,
+       b.n_matched,
+       round(b.n_matched * 1.0 / least(na.n_win, nb.n_win), 6) AS score
+FROM best b JOIN nw na ON na.aid = b.ia JOIN nw nb ON nb.aid = b.ib
+WHERE b.rn = 1
+  AND round(b.n_matched * 1.0 / least(na.n_win, nb.n_win), 6) >= {AUDIO_MIN_SHARED}
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     return (
@@ -2714,6 +2796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_cohesion": q_cluster_cohesion,
     "cluster_retract_repair": q_cluster_retract_repair,
     "near_video_pairs": q_near_video_pairs,
+    "near_audio_pairs": q_near_audio_pairs,
     "image_dedup_verdicts": q_image_dedup_verdicts,
 }
 
@@ -3394,6 +3477,7 @@ ORACLES["ann_index_probe"] = _ivf_oracle()
 # (assignment depends only on the frozen centroids), so the increments
 # row shares the same twin — green == appends lose nothing
 ORACLES["ann_index_increments"] = _ivf_oracle()
+ORACLES["near_audio_pairs"] = _near_audio_oracle()
 ORACLES["ann_topk_ivfpq"] = _ivfpq_oracle()
 ORACLES["ann_topk_ivfpq_rerank"] = _ivfpq_rerank_oracle()
 ORACLES["embedding_neardup_pairs"] = _neardup_oracle()
