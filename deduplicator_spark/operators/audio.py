@@ -73,7 +73,11 @@ def near_audio_pairs_from_prints(prints: DataFrame,
     score = aligned-window count / min(window count of either side). Emits
     pairs with score >= min_shared_frac as (id_a, id_b, offset, n_matched,
     score). id ordering is lexicographic — zero-pad numeric ids."""
-    p = prints.select(F.col(id_col).alias("aid"), "win_idx", "print")
+    # persisted: this frame feeds four consumers (window counts, the hot
+    # list, and both join sides) — without it the decode UDF upstream of a
+    # real fingerprint table would run once per consumer. Tiny (3 scalars
+    # per window); Spark LRU-evicts after the caller's action.
+    p = prints.select(F.col(id_col).alias("aid"), "win_idx", "print").persist()
     nwin = p.groupBy("aid").agg(F.count(F.lit(1)).cast("long").alias("n_win"))
     # hot-print drop: a print occurring > print_cap times corpus-wide (near
     # silence, test tones) would contribute O(df^2) join rows; drop it from
