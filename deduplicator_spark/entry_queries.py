@@ -2520,6 +2520,129 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (region -> nation -> grand total) over
+    the order revenue, with grouping_id distinguishing the levels — the
+    multi-level reporting shape (GROUPING SETS family) every analytics
+    engine must provide. Dimension tables broadcast; the fact side shuffles
+    once on the grouping keys after Spark's Expand replicates each row per
+    rollup level (x3) with map-side partial aggregation, so the exchange
+    carries group cardinality, not fact rows.
+
+    100 TB shape: one fact scan, two broadcast joins (nation/region are KB),
+    one exchange bounded by |regions x nations| + |regions| + 1."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    j = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count(F.lit(1)).cast("long").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select("r_name", "n_name", "gid", "n_orders", "revenue")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r.r_name, n.n_name,
+       CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join — the classic operator Spark's DataFrame API
+    lacks: for every 'click' event, the most recent 'view' by the SAME user
+    at-or-before the click's timestamp (views deduped to one per (user, ts),
+    largest event_id, so the match is unique by construction). Built
+    Spark-first from primitives: UNION the two sides with a tag, ONE window
+    over (user_id), ordered by (ts, side, event_id), and carry the latest
+    view's attributes forward with last_value(ignorenulls) — views sort
+    before clicks at equal ts, so 'at-or-before' includes ties. The DuckDB
+    twin uses DuckDB's NATIVE ASOF JOIN — two genuinely independent
+    implementations of the operator agreeing row-for-row, not one derivation
+    rendered twice. Reference analog: 'most recent matching index entry'
+    is exactly the reference's last-wins lookup semantics
+    (IndexBuilder last-wins + DeDuplicator.java:149-172) made temporal.
+
+    100 TB shape: ONE shuffle on user_id (the union is shuffle-free; both
+    the dedup window and the carry-forward window share the user_id
+    partitioning); no join node at all, so there is nothing to skew —
+    a hot user costs one fat partition, the same cost any per-user window
+    pays, and the same salting remedy applies."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", us.alias("t_us"), F.lit(0).alias("side"),
+                F.col("event_id").alias("view_event_id"),
+                F.col("ts").alias("view_ts"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("t_us"), F.lit(1).alias("side"),
+        F.col("event_id").alias("click_event_id"), F.col("ts").alias("click_ts"))
+    u = views.select("user_id", "t_us", "side", "view_event_id", "view_ts",
+                     F.lit(None).cast("long").alias("click_event_id"),
+                     F.lit(None).cast("timestamp_ntz").alias("click_ts")) \
+        .unionByName(clicks.select(
+            "user_id", "t_us", "side",
+            F.lit(None).cast("long").alias("view_event_id"),
+            F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+            "click_event_id", "click_ts"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("t_us", "side", "click_event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (
+        u.withColumn("_v_id", F.last("view_event_id", ignorenulls=True).over(w))
+        .withColumn("_v_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    return carried.select(
+        "user_id", "click_event_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("_v_id").alias("view_event_id"),
+        F.date_format("_v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.floor((F.col("t_us") - F.unix_micros(F.col("_v_ts").cast("timestamp")))
+                / 1_000_000).cast("long").alias("lag_seconds"),
+    )
+
+
+# Independent implementation on the oracle side: DuckDB's NATIVE ASOF JOIN
+# (greatest view ts <= click ts per user; build side pre-deduped to one row
+# per (user, ts) so the match is unique). LEFT keeps never-viewed clicks.
+_ASOF_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+),
+views AS (SELECT user_id, ts, event_id FROM v WHERE rn = 1),
+clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+SELECT c.user_id, c.event_id AS click_event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       vw.event_id AS view_event_id,
+       strftime(vw.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       CAST(floor((epoch_us(c.ts) - epoch_us(vw.ts)) / 1000000.0) AS BIGINT)
+         AS lag_seconds
+FROM clicks c ASOF LEFT JOIN views vw
+  ON c.user_id = vw.user_id AND c.ts >= vw.ts
+"""
+
+
 def q_lastwins_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 last-wins upsert: latest capture per (url, digest)."""
     c = captures_from_events(load_events(spark, sf_dir)).filter(F.col("status") == 200)
@@ -2737,6 +2860,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_stats": q_events_json_stats,
     "events_minute_rollup": q_events_minute_rollup,
     "user_sessions": q_user_sessions,
+    "asof_join": q_asof_join,
+    "revenue_rollup": q_revenue_rollup,
     "corpus_length_profile": q_corpus_length_profile,
     "distinctive_terms": q_distinctive_terms,
     "canonicalize_urls": q_canonicalize_urls,
@@ -2868,6 +2993,8 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
 FROM events GROUP BY 1, 2
 """,
     "user_sessions": _SESSIONS_SQL,
+    "asof_join": _ASOF_SQL,
+    "revenue_rollup": _ROLLUP_SQL,
     "corpus_length_profile": _LENGTH_PROFILE_SQL,
     "distinctive_terms": _DISTINCTIVE_SQL,
     "canonicalize_urls": f"""
