@@ -2520,6 +2520,35 @@ FROM s GROUP BY user_id, sess
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: the per-user activity matrix — one column per event type with
+    that user's count, plus total value. Explicit pivot values (the closed
+    event-type vocabulary) keep the plan single-pass: Spark's pivot with
+    known values compiles to ONE aggregate with conditional counts — no
+    value-discovery job, no second scan. The DuckDB twin uses portable
+    FILTER aggregates, the form PIVOT desugars to.
+
+    100 TB shape: one scan, one exchange on user_id with map-side partial
+    aggregation; output width is fixed by the vocabulary, not the data."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .select("user_id",
+                *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES])
+    )
+
+
+_PIVOT_SQL = "SELECT user_id, " + ", ".join(
+    f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in EVENT_TYPES) + " FROM events GROUP BY user_id"
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (region -> nation -> grand total) over
     the order revenue, with grouping_id distinguishing the levels — the
@@ -2862,6 +2891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,
     "revenue_rollup": q_revenue_rollup,
+    "event_type_pivot": q_event_type_pivot,
     "corpus_length_profile": q_corpus_length_profile,
     "distinctive_terms": q_distinctive_terms,
     "canonicalize_urls": q_canonicalize_urls,
@@ -2995,6 +3025,7 @@ FROM events GROUP BY 1, 2
     "user_sessions": _SESSIONS_SQL,
     "asof_join": _ASOF_SQL,
     "revenue_rollup": _ROLLUP_SQL,
+    "event_type_pivot": _PIVOT_SQL,
     "corpus_length_profile": _LENGTH_PROFILE_SQL,
     "distinctive_terms": _DISTINCTIVE_SQL,
     "canonicalize_urls": f"""
