@@ -1290,6 +1290,65 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p quality filtering per language — the curation policy 'keep the
+    best half of every language' (per-language, so high-resource languages
+    cannot crowd out the tail). Rank key: (token count desc, type-token
+    ratio desc, doc_id asc) — the doubles in the key are ratios of exact
+    integers, bitwise-identical cross-engine, and the doc_id tiebreak makes
+    the order total. Emits rank, percentile, and the keep flag
+    (rank <= ceil(n_lang / 2)).
+
+    100 TB shape: one exchange on lang; rank + count share the partition.
+    Languages are few and huge — for a genuinely hot language partition the
+    scalable form is the two-pass quantile cut (corpus_length_profile's
+    percentile to find the threshold, then a map-only filter); this window
+    form is exact and what the oracle proves."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    scored = t.select(
+        "doc_id", "lang",
+        F.size("t").cast("long").alias("n_tok"),
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("ttr"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_tok").desc(), F.col("ttr").desc(), F.col("doc_id").asc())
+    n_lang = F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    return (
+        scored.withColumn("q_rank", F.row_number().over(w))
+        .withColumn("n_lang", n_lang)
+        .select(
+            "doc_id", "lang",
+            F.col("q_rank").cast("long").alias("q_rank"),
+            F.col("n_lang").cast("long").alias("n_lang"),
+            F.round(F.col("q_rank") / n_lang, 6).alias("pct"),
+            (F.col("q_rank") <= F.ceil(n_lang / F.lit(2.0))).alias("kept"),
+        )
+    )
+
+
+_QUALITY_TOPK_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(len(t) AS BIGINT) AS n_tok,
+         len(list_distinct(t)) * 1.0 / len(t) AS ttr
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY n_tok DESC, ttr DESC, doc_id ASC) AS q_rank,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM s
+)
+SELECT doc_id, lang, CAST(q_rank AS BIGINT) AS q_rank,
+       CAST(n_lang AS BIGINT) AS n_lang,
+       round(q_rank * 1.0 / n_lang, 6) AS pct,
+       q_rank <= ceil(n_lang / 2.0) AS kept
+FROM r
+"""
+
+
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (stopword voting with deterministic tie-break)
     cross-tabulated against the labeled lang column."""
@@ -2929,6 +2988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "quality_scores": q_quality_scores,
+    "quality_topk_per_lang": q_quality_topk_per_lang,
     "langid_confusion": q_langid_confusion,
     "embedding_topk": q_embedding_topk,
     "multimodal_alignment": q_multimodal_alignment,
@@ -3274,6 +3334,7 @@ SELECT doc_id, lang, n_tok, round(ttr, 6) AS ttr, cum_tokens,
        CAST(cum_tokens <= {MIX_TOKEN_BUDGET} AS INT) AS selected
 FROM ranked
 """,
+    "quality_topk_per_lang": _QUALITY_TOPK_SQL,
     "quality_scores": """
 WITH t AS (
   SELECT doc_id,
