@@ -1290,6 +1290,40 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew observability: the document-frequency distribution of k-token
+    shingles — one row per df value with how many distinct shingles have it
+    and the total posting mass df * n (the quantity that explodes as df^2 in
+    an uncapped inverted-index join). This histogram is the evidence behind
+    every hot-key cap in the engine (the ngram tier's df cap, the
+    containment posting cap, the audio print cap): at 100 TB you run THIS
+    first, then set the cap where cumulative df^2 mass turns vertical.
+
+    Shape: explode -> distinct (doc, shingle) -> groupBy shingle (map-side
+    combined) -> bounded groupBy over df values. Output is df-histogram
+    sized (hundreds of rows), never corpus-sized."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("sh"))
+    df_t = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        df_t.groupBy("df")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+             F.sum(F.col("df") * F.col("df")).cast("long").alias("join_mass"))
+        .select("df", "n_shingles", "join_mass")
+    )
+
+
+_SHINGLE_HIST_SQL = f"""
+WITH s AS ({{shingles_sql}}),
+ex AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+dft AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY sh)
+SELECT df, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(df * df) AS BIGINT) AS join_mass
+FROM dft GROUP BY df
+"""
+
+
 def q_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-p quality filtering per language — the curation policy 'keep the
     best half of every language' (per-language, so high-resource languages
@@ -2989,6 +3023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats_bpe": q_token_stats_bpe,
     "quality_scores": q_quality_scores,
     "quality_topk_per_lang": q_quality_topk_per_lang,
+    "shingle_df_histogram": q_shingle_df_histogram,
     "langid_confusion": q_langid_confusion,
     "embedding_topk": q_embedding_topk,
     "multimodal_alignment": q_multimodal_alignment,
@@ -3335,6 +3370,7 @@ SELECT doc_id, lang, n_tok, round(ttr, 6) AS ttr, cum_tokens,
 FROM ranked
 """,
     "quality_topk_per_lang": _QUALITY_TOPK_SQL,
+    "shingle_df_histogram": _SHINGLE_HIST_SQL.format(shingles_sql=_SHINGLES_SQL),
     "quality_scores": """
 WITH t AS (
   SELECT doc_id,
