@@ -1290,6 +1290,65 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns chosen to parse identically in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, explicit character classes.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the safety scrub every training pipeline runs before
+    text ships: replace emails / phone numbers with typed placeholders and
+    count what was removed per document. The synthetic corpus contains no
+    PII, so the harness PLANTS it deterministically (docs with doc_id%7==0
+    get a contact line appended — the SAME expression in both engines), and
+    the operator then redacts generically; counts come from regexp_count so
+    the oracle also proves occurrence arithmetic, not just replacement.
+    Patterns are restricted to the Java-regex/RE2 common subset (no
+    lookaround/backrefs) so both engines compile them identically.
+
+    100 TB shape: a pure map-only pass fused into the scan — zero shuffles;
+    regexp runs JVM-side in whole-stage codegen, never Python."""
+    docs = load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" reach user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +1-555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.col("text"))
+    n_email = F.regexp_count(planted, F.lit(PII_EMAIL_RE))
+    n_phone = F.regexp_count(planted, F.lit(PII_PHONE_RE))
+    clean = F.regexp_replace(
+        F.regexp_replace(planted, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+_PII_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM p
+"""
+
+
 def q_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew observability: the document-frequency distribution of k-token
     shingles — one row per df value with how many distinct shingles have it
@@ -3024,6 +3083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "quality_topk_per_lang": q_quality_topk_per_lang,
     "shingle_df_histogram": q_shingle_df_histogram,
+    "pii_redact": q_pii_redact,
     "langid_confusion": q_langid_confusion,
     "embedding_topk": q_embedding_topk,
     "multimodal_alignment": q_multimodal_alignment,
@@ -3371,6 +3431,7 @@ FROM ranked
 """,
     "quality_topk_per_lang": _QUALITY_TOPK_SQL,
     "shingle_df_histogram": _SHINGLE_HIST_SQL.format(shingles_sql=_SHINGLES_SQL),
+    "pii_redact": _PII_SQL,
     "quality_scores": """
 WITH t AS (
   SELECT doc_id,
