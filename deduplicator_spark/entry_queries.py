@@ -2763,15 +2763,14 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays, and the same salting remedy applies."""
     e = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .withColumn("_rn", F.row_number().over(
-            Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", us.alias("t_us"), F.lit(0).alias("side"),
-                F.col("event_id").alias("view_event_id"),
-                F.col("ts").alias("view_ts"))
-    )
+    # no separate dedup pass: view rows order by event_id ASC within a
+    # timestamp, so last(ignorenulls) at any later row is the LARGEST view
+    # event_id of the latest view ts — the (user, ts) dedup folded into the
+    # same single window (plan audit pins this at ONE exchange).
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("t_us"), F.lit(0).alias("side"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"))
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", us.alias("t_us"), F.lit(1).alias("side"),
         F.col("event_id").alias("click_event_id"), F.col("ts").alias("click_ts"))
@@ -2784,7 +2783,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("timestamp_ntz").alias("view_ts"),
             "click_event_id", "click_ts"))
     w = (Window.partitionBy("user_id")
-         .orderBy("t_us", "side", "click_event_id")
+         .orderBy("t_us", "side",
+                  F.coalesce("click_event_id", "view_event_id"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = (
         u.withColumn("_v_id", F.last("view_event_id", ignorenulls=True).over(w))
