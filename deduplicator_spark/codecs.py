@@ -119,7 +119,7 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def audio_subfingerprints(samples: np.ndarray, win: int = 1024,
-                          bands: int = 16) -> np.ndarray:
+                          bands: int = 32) -> np.ndarray:
     """Haitsma-Kalker-style subfingerprints: split the waveform into
     fixed-length windows, compute per-band energies (contiguous bands stand
     in for the FFT filterbank real pipelines use — the container has no FFT
@@ -128,7 +128,15 @@ def audio_subfingerprints(samples: np.ndarray, win: int = 1024,
     bit[b] = (E[t,b]-E[t,b+1]) - (E[t-1,b]-E[t-1,b+1]) > 0. Signs survive
     volume scaling and mild noise, which is what makes exact-match joins on
     subfingerprints a sound candidate generator. Returns int64[n_windows-1]
-    (window t's print uses windows t-1 and t). Fully vectorized numpy."""
+    (window t's print uses windows t-1 and t). Fully vectorized numpy.
+
+    bands=32 gives 31 sign bits per print (~2.1e9 values) — the print-space
+    sizing is load-bearing at scale: the first 48k-clip scaling bench ran
+    with 16 bands (15 bits, 32,768 values), the 1.4M corpus windows
+    saturated every value past the hot-print cap, and recall silently
+    collapsed (416 of ~19,200 planted pairs). Sized like the original
+    Haitsma-Kalker 32-bit subfingerprint for exactly this reason; at 10^12
+    windows, widen further (two stacked 31-bit prints per window)."""
     s = samples.astype(np.float64)
     n_win = s.size // win
     if n_win < 2:

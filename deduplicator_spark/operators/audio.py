@@ -43,7 +43,7 @@ AUDIO_MIN_SHARED = 0.5  # fraction of the sparser side's windows that must align
 
 
 def audio_fingerprints(audios: DataFrame, id_col: str = "audio_id",
-                       win: int = 1024, bands: int = 16) -> DataFrame:
+                       win: int = 1024, bands: int = 32) -> DataFrame:
     """(audio_id, bytes) -> one row per window: (audio_id, win_idx, print).
     Arrow-batched mapInPandas; everything numpy-vectorized per payload."""
     from ..codecs import audio_subfingerprints, decode_audio

@@ -102,8 +102,13 @@ def main() -> None:
     best = {c: min(ts) for c, ts in times.items()}
     rate = {c: round(n / best[c], 1) for c in best}
     eff = (rate[big] / rate[small]) / (big / small)
+    # planted truth: every even/odd pair except the novel odds (odd ids with
+    # i % 5 == 3, i.e. i % 10 == 3 -> n // 10 of all ids)
+    planted = n // 2 - n // 10
     summary = {
         "n_clips": n,
+        "planted_pairs": planted,
+        "planted_recall": round(pairs[small] / planted, 4) if planted else None,
         "small": {"cores": small, "sec": best[small], "clips_per_sec": rate[small],
                   "all_runs_sec": times[small], "load_before_runs": loads[small]},
         "big": {"cores": big, "sec": best[big], "clips_per_sec": rate[big],
@@ -134,6 +139,9 @@ interleaved best-of-{REPEATS} with per-context warm-up.
 - scaling efficiency: **{summary['scaling_efficiency']}** (criterion: >= 0.8)
 - verified pairs identical across levels: {summary['pairs_identical']}
   ({pairs[small]} pairs — parallelism-invariant output)
+- planted-pair recall: **{summary['planted_recall']}** ({pairs[small]} of
+  {planted} planted re-master pairs; criterion >= 0.99 — this line is what
+  caught the 15-bit print-space saturation, see codecs.audio_subfingerprints)
 
 Reproduce: `python tools/audio_scaling_bench.py {n} {small} {big}`
 """)
