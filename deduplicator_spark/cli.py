@@ -176,6 +176,24 @@ def cmd_retract(args) -> int:
     return 0
 
 
+def cmd_audio(args) -> int:
+    """Audio near-dup pairs over a parquet of (audio_id, bytes) FAUD clips:
+    decode -> subfingerprints -> offset-consistent alignment scoring
+    (operators/audio.near_audio_pairs); writes pairs, prints a summary."""
+    from .operators.audio import near_audio_pairs
+
+    spark = _spark(args)
+    audios = spark.read.parquet(args.input)
+    pairs = near_audio_pairs(
+        audios, min_shared_frac=args.min_shared_frac).persist()
+    pairs.write.mode("overwrite").parquet(f"{args.output}/audio_pairs")
+    n_pairs = pairs.count()
+    n_clips = audios.count()
+    print(f"  clips           {n_clips}")
+    print(f"  near-dup pairs  {n_pairs}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicator-spark")
     p.add_argument("--cores", type=int, default=None,
@@ -229,6 +247,13 @@ def main(argv: list[str] | None = None) -> int:
                              "DIGEST_URL_PREFERRED"])
     pb.add_argument("--output", required=True)
     pb.set_defaults(fn=cmd_probe)
+
+    pa = sub.add_parser("audio",
+                        help="audio near-dup pairs over (audio_id, bytes) parquet")
+    pa.add_argument("--input", required=True)
+    pa.add_argument("--output", required=True)
+    pa.add_argument("--min-shared-frac", type=float, default=0.5)
+    pa.set_defaults(fn=cmd_audio)
 
     pt = sub.add_parser("retract",
                         help="takedown repair: drop ids from a prior run's "
