@@ -402,6 +402,65 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 8        # gram chars (noise floor: no match shorter than k)
+WINNOW_W = 9        # window width -> guarantee t = w + k - 1 = 16 chars
+WINNOW_DF_CAP = 16  # hot-fingerprint posting cutoff (same rule as SHINGLE_DF_CAP)
+WINNOW_MIN_SHARED = 3
+
+# winnow_fingerprint_pairs oracle: the identical algorithm in DuckDB list
+# algebra — same 40-bit md5 gram hash, same (hash+1)*2^20 - pos key packing
+# (min = smallest hash, rightmost position: robust winnowing's tie-break),
+# same df cap and min-shared gate. Integer-exact end to end.
+_WINNOW_PAIRS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text AS t FROM documents WHERE length(text) >= {WINNOW_K}
+),
+kk AS (
+  SELECT doc_id,
+    list_transform(range(1, least(length(t) - {WINNOW_K} + 1, 1048575) + 1),
+      i -> (CAST('0x' || substr(md5(substr(t, i, {WINNOW_K})), 1, 10) AS BIGINT)
+            + 1) * 1048576 - i) AS ks
+  FROM d
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(ks) - {WINNOW_W} + 1, 1) + 1),
+      p -> list_min(list_slice(ks, p, p + {WINNOW_W} - 1)))) AS key
+  FROM kk
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+    ((key + (1048576 - (key % 1048576))) // 1048576) - 1 AS fp
+  FROM sel
+),
+n AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {WINNOW_DF_CAP}),
+post AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT p.id_a, p.id_b, p.shared, na.n AS n_a, nb.n AS n_b
+FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+"""
+
+
+def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/MOSS fingerprint pairs (operators/winnow.py, Schleimer et
+    al. SIGMOD'03): local min-hash selection over k-gram windows guarantees
+    a shared fingerprint for any common substring of >= w+k-1 chars, at
+    ~2/(w+1) index density. The fifth candidate strategy (after inverted
+    index, MinHash/LSH, PPJoin prefix and repeated-passage alignment),
+    covering passage-level overlap the whole-document Jaccard tiers miss.
+    Oracle: identical algorithm in DuckDB list algebra."""
+    from .operators.winnow import winnow_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_pairs(docs, WINNOW_K, WINNOW_W,
+                        WINNOW_DF_CAP, WINNOW_MIN_SHARED)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup edges; every doc gets
     a cluster id (min reachable doc_id). Oracle: recursive CTE closure.
@@ -1179,6 +1238,52 @@ def q_exact_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate provenance matrix: every verified near-dup
+    pair (shingle Jaccard >= t; exact dups appear at J = 1, so the exact
+    tier is subsumed) becomes a (kept = min doc_id, dropped = max) edge,
+    aggregated by (source of kept, source of dropped). This is the
+    data-mixing diagnostic a multi-corpus pipeline reads before setting
+    mixture weights: which sources merely restate which, and how many
+    chars dedup moves between them — the reference's per-class byte
+    counters (DeDuplicator.java:194-205) lifted from URL-classes to
+    source-pairs. Adds one bounded groupBy over the already-bounded pair
+    set; dup_chars sums the dropped side's n_chars (the bytes dedup
+    saves, attributed to the pair)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.least("id_a", "id_b").alias("kept"),
+        F.greatest("id_a", "id_b").alias("dropped"),
+    )
+    src = docs.select("doc_id", "source", "n_chars")
+    return (
+        pairs
+        .join(src.select(F.col("doc_id").alias("kept"),
+                         F.col("source").alias("src_kept")), "kept")
+        .join(src.select(F.col("doc_id").alias("dropped"),
+                         F.col("source").alias("src_dropped"),
+                         F.col("n_chars")), "dropped")
+        .groupBy("src_kept", "src_dropped")
+        .agg(F.count("*").alias("n_dup_docs"),
+             F.sum("n_chars").cast("long").alias("dup_chars"))
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH pairs AS ({_JACCARD_PAIRS_CAPPED_SQL}),
+e AS (
+  SELECT least(id_a, id_b) AS kept, greatest(id_a, id_b) AS dropped
+  FROM pairs
+)
+SELECT ka.source AS src_kept, kb.source AS src_dropped,
+       count(*) AS n_dup_docs, CAST(sum(kb.n_chars) AS BIGINT) AS dup_chars
+FROM e
+JOIN documents ka ON ka.doc_id = e.kept
+JOIN documents kb ON kb.doc_id = e.dropped
+GROUP BY 1, 2
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: minimum md5 over the shingle set (one-permutation
     MinHash) — cheap join key for fingerprint-level dedup."""
@@ -1220,6 +1325,96 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         (F.col("cum_tokens") <= MIX_TOKEN_BUDGET).cast("int").alias("selected"),
     )
+
+
+SAMPLE_DENOM = 5  # stratified sample keeps N/5 docs overall
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional stratified sample (largest-remainder /
+    Hare-quota apportionment): a global budget of N/5 documents is split
+    across languages exactly proportionally — base quota floor(B*n_l/N)
+    per language, the leftover B - Σbase slots going to the largest
+    remainders (lang tie-break) so quotas SUM EXACTLY to the budget, which
+    per-stratum rounding can't guarantee. Within a language, membership is
+    decided by md5 hash rank, so the sample is reproducible, uniform within
+    stratum, and stable under corpus reordering.
+
+    100 TB shape: one groupBy(lang) for stratum counts, apportionment
+    arithmetic on the language table (bounded by language cardinality —
+    the one legitimately driver-small table here), one row_number window
+    per lang partition, one broadcast join of quotas. Oracle: identical
+    integer arithmetic in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+        .alias("hk"),
+    )
+    per = d.groupBy("lang").agg(F.count("*").alias("lang_n"))
+    tot = per.agg(F.sum("lang_n").cast("long").alias("n"))
+    p2 = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("b", F.expr(f"n div {SAMPLE_DENOM}"))
+        .withColumn("base", F.expr("(b * lang_n) div n"))
+        .withColumn("rem", F.expr("(b * lang_n) % n"))
+    )
+    extra = p2.agg(
+        (F.max("b") - F.sum("base")).cast("long").alias("extra"))
+    # the apportionment window runs over the LANGUAGE table (a few hundred
+    # rows at any scale) — single-partition by design, not an oversight
+    q = (
+        p2.crossJoin(F.broadcast(extra))
+        .withColumn(
+            "quota",
+            (F.col("base")
+             + (F.row_number().over(
+                 Window.orderBy(F.col("rem").desc(), F.col("lang").asc()))
+                <= F.col("extra")).cast("long")).cast("long"))
+        .select("lang", "lang_n", "quota")
+    )
+    r = d.withColumn(
+        "pick_rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("hk", "doc_id"))
+        .cast("long"))
+    return (
+        r.join(F.broadcast(q), "lang")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "lang_n", "quota", "pick_rank")
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, md5('samp:' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+per AS (SELECT lang, count(*) AS lang_n FROM d GROUP BY lang),
+tot AS (SELECT CAST(sum(lang_n) AS BIGINT) AS n FROM per),
+p2 AS (
+  SELECT lang, lang_n, n, n // {SAMPLE_DENOM} AS b,
+         (n // {SAMPLE_DENOM}) * lang_n // n AS base,
+         ((n // {SAMPLE_DENOM}) * lang_n) % n AS rem
+  FROM per, tot
+),
+ex AS (SELECT max(b) - CAST(sum(base) AS BIGINT) AS extra FROM p2),
+q AS (
+  SELECT lang, lang_n,
+         CAST(base + CASE WHEN row_number()
+                 OVER (ORDER BY rem DESC, lang ASC) <= extra
+              THEN 1 ELSE 0 END AS BIGINT) AS quota
+  FROM p2, ex
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+           AS pick_rank
+  FROM d
+)
+SELECT r.doc_id, r.lang, q.lang_n, q.quota, r.pick_rank
+FROM r JOIN q USING (lang) WHERE r.pick_rank <= q.quota
+"""
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3060,9 +3255,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_class_stats": q_dup_class_stats,
     "novel_by_antijoin": q_novel_by_antijoin,
     "exact_digest_documents": q_exact_digest_documents,
+    "source_overlap": q_source_overlap,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
     "containment_pairs": q_containment_pairs,
     "dedup_clusters": q_dedup_clusters,
     "cluster_stats": q_cluster_stats,
@@ -3078,6 +3275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_coverage": q_repeated_coverage,
     "doc_fingerprint": q_doc_fingerprint,
     "training_mix": q_training_mix,
+    "stratified_sample": q_stratified_sample,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "quality_scores": q_quality_scores,
@@ -3341,9 +3539,11 @@ SELECT doc_id, md5(text) AS digest,
   min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
 FROM documents
 """,
+    "source_overlap": _SOURCE_OVERLAP_SQL,
     "ngram_jaccard_pairs": _JACCARD_PAIRS_CAPPED_SQL,
     "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
     "prefix_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "winnow_fingerprint_pairs": _WINNOW_PAIRS_SQL,
     "containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     # full recompute over the surviving subgraph — the incremental repair
@@ -3429,6 +3629,7 @@ SELECT doc_id, lang, n_tok, round(ttr, 6) AS ttr, cum_tokens,
        CAST(cum_tokens <= {MIX_TOKEN_BUDGET} AS INT) AS selected
 FROM ranked
 """,
+    "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "quality_topk_per_lang": _QUALITY_TOPK_SQL,
     "shingle_df_histogram": _SHINGLE_HIST_SQL.format(shingles_sql=_SHINGLES_SQL),
     "pii_redact": _PII_SQL,
