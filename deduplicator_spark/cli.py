@@ -194,6 +194,27 @@ def cmd_audio(args) -> int:
     return 0
 
 
+def cmd_winnow(args) -> int:
+    """Winnowing/MOSS fingerprint pairs over a parquet of (doc_id, text):
+    passage-level overlap detection with the w+k-1-char substring guarantee
+    (operators/winnow.winnow_pairs); writes pairs, prints a summary."""
+    from .operators.winnow import winnow_pairs
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    pairs = winnow_pairs(docs, k=args.k, w=args.window,
+                         df_cap=args.df_cap,
+                         min_shared=args.min_shared).persist()
+    pairs.write.mode("overwrite").parquet(f"{args.output}/winnow_pairs")
+    n_pairs = pairs.count()
+    n_docs = docs.count()
+    print(f"  docs            {n_docs}")
+    print(f"  guarantee       shared substrings >= {args.window + args.k - 1}"
+          " chars")
+    print(f"  overlap pairs   {n_pairs}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicator-spark")
     p.add_argument("--cores", type=int, default=None,
@@ -254,6 +275,18 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--output", required=True)
     pa.add_argument("--min-shared-frac", type=float, default=0.5)
     pa.set_defaults(fn=cmd_audio)
+
+    pw = sub.add_parser("winnow",
+                        help="winnowing fingerprint overlap pairs over "
+                             "(doc_id, text) parquet")
+    pw.add_argument("--input", required=True)
+    pw.add_argument("--output", required=True)
+    pw.add_argument("--k", type=int, default=8, help="gram chars")
+    pw.add_argument("--window", type=int, default=9,
+                    help="window width (guarantee = window + k - 1 chars)")
+    pw.add_argument("--df-cap", type=int, default=16)
+    pw.add_argument("--min-shared", type=int, default=3)
+    pw.set_defaults(fn=cmd_winnow)
 
     pt = sub.add_parser("retract",
                         help="takedown repair: drop ids from a prior run's "

@@ -1417,6 +1417,76 @@ FROM r JOIN q USING (lang) WHERE r.pick_rank <= q.quota
 """
 
 
+SHUFFLE_SHARDS = 16   # training shards cut from the shuffled order
+SHUFFLE_BUCKETS = 4096  # md5-prefix buckets for the two-pass global rank
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle + shard assignment: every doc gets
+    its exact 0-based position in the md5('shuf:'||doc_id) order and the
+    contiguous training shard that position falls in. The naive construction
+    — row_number() over a GLOBAL orderBy — funnels 10^12 rows through one
+    partition; this is the scale-correct two-pass build instead: bucket by
+    the first 3 hex chars of the key (4096 uniform buckets, since the
+    bucket is a PREFIX of the sort key, global key order == (bucket, key)
+    order), count per bucket, turn counts into cumulative offsets with one
+    window over the 4096-row bucket table (bounded by construction — the
+    only single-partition step), then pos = bucket offset + the within-
+    bucket rank from an ordinary per-bucket window. One corpus shuffle on
+    the bucket key, exact and deterministic at any scale. Oracle: the
+    single-window global row_number the small engine CAN afford."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+        .alias("k"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring("k", 1, 3), 16, 10).cast("int"))
+    counts = d.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # cumulative offsets over the bucket table: <= SHUFFLE_BUCKETS rows at
+    # any corpus size — single-partition by design, not an oversight
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    n_tot = d.agg(F.count("*").cast("long").alias("n"))
+    ranked = d.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("k", "doc_id")))
+    return (
+        ranked
+        .join(F.broadcast(offsets.select("bucket", "off")), "bucket")
+        .withColumn("pos", (F.col("off") + F.col("rk") - 1).cast("long"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id", "pos",
+            F.expr(f"pos div ((n + {SHUFFLE_SHARDS - 1}) div "
+                   f"{SHUFFLE_SHARDS})").cast("long").alias("shard"))
+    )
+
+
+_CORPUS_SHUFFLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+  FROM d
+),
+n AS (SELECT count(*) AS n FROM d)
+SELECT doc_id, pos,
+       CAST(pos // ((n + {SHUFFLE_SHARDS - 1}) // {SHUFFLE_SHARDS})
+            AS BIGINT) AS shard
+FROM p, n
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per language (training-data telemetry)."""
     docs = load(spark, sf_dir, "documents")
@@ -3276,6 +3346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "training_mix": q_training_mix,
     "stratified_sample": q_stratified_sample,
+    "corpus_shuffle": q_corpus_shuffle,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "quality_scores": q_quality_scores,
@@ -3630,6 +3701,7 @@ SELECT doc_id, lang, n_tok, round(ttr, 6) AS ttr, cum_tokens,
 FROM ranked
 """,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
     "quality_topk_per_lang": _QUALITY_TOPK_SQL,
     "shingle_df_histogram": _SHINGLE_HIST_SQL.format(shingles_sql=_SHINGLES_SQL),
     "pii_redact": _PII_SQL,
