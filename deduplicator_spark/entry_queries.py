@@ -1342,15 +1342,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one groupBy(lang) for stratum counts, apportionment
     arithmetic on the language table (bounded by language cardinality —
-    the one legitimately driver-small table here), one row_number window
-    per lang partition, one broadcast join of quotas. Oracle: identical
-    integer arithmetic in DuckDB."""
+    the one legitimately driver-small table here), and — because a naive
+    per-language row_number window puts a whole language in ONE partition
+    (a dominant language is most of a real corpus) — the within-stratum
+    hash rank is built with the same bucket-prefix two-pass as
+    q_corpus_shuffle: rank within (lang, 3-hex-char key prefix) buckets,
+    plus cumulative bucket offsets from a window over the bounded
+    (lang x 4096)-row count table. Exactly equal to the naive rank (the
+    bucket is a PREFIX of the sort key), with per-language parallelism
+    4096 instead of 1. Oracle: identical integer arithmetic in DuckDB
+    (which CAN afford the naive window)."""
     docs = load(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "lang",
         F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
         .alias("hk"),
-    )
+    ).withColumn(
+        "bucket", F.conv(F.substring("hk", 1, 3), 16, 10).cast("int"))
     per = d.groupBy("lang").agg(F.count("*").alias("lang_n"))
     tot = per.agg(F.sum("lang_n").cast("long").alias("n"))
     p2 = (
@@ -1373,11 +1381,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("extra")).cast("long")).cast("long"))
         .select("lang", "lang_n", "quota")
     )
-    r = d.withColumn(
-        "pick_rank",
-        F.row_number().over(
-            Window.partitionBy("lang").orderBy("hk", "doc_id"))
-        .cast("long"))
+    bcounts = d.groupBy("lang", "bucket").agg(F.count("*").alias("cnt"))
+    # cumulative offsets over <= 4096 rows PER LANGUAGE — bounded window
+    boffsets = bcounts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.partitionBy("lang").orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    r = (
+        d.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang", "bucket")
+                .orderBy("hk", "doc_id")))
+        .join(F.broadcast(boffsets.select("lang", "bucket", "off")),
+              ["lang", "bucket"])
+        .withColumn("pick_rank", (F.col("off") + F.col("rk")).cast("long"))
+    )
     return (
         r.join(F.broadcast(q), "lang")
         .filter(F.col("pick_rank") <= F.col("quota"))
