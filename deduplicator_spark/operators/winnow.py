@@ -13,10 +13,11 @@ shared fingerprint (window guarantee), and no shared gram shorter than k
 ever matches (noise floor). Density is 2/(w+1) — the fingerprint index is
 ~2n/(w+1) postings for n grams, vs n for the full inverted index.
 
-Where the reference compares whole-payload digests (DigestIndexer's exact
-sha1 equality), winnowing is the LOCAL generalization: two documents match
-when they share any sufficiently long passage, without the alignment step
-repeated-passage detection (operators/passages.py) pays.
+Where the reference compares whole-payload digests (exact sha1 equality on
+the always-indexed DIGEST field — IndexBuilder.java:209-212, lookup at
+LuceneIndexSearcher.java:274-276), winnowing is the LOCAL generalization:
+two documents match when they share any sufficiently long passage, without
+the alignment step repeated-passage detection (operators/passages.py) pays.
 
 Engine-portable arithmetic (the md5-conv pattern shared with the SimHash
 tier) so the DuckDB oracle is integer-exact:
