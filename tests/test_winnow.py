@@ -92,6 +92,29 @@ def test_pairs_min_shared_and_df_cap(docs):
     assert winnow_pairs(docs, df_cap=1, min_shared=1).count() == 0
 
 
+def test_randomized_equality_with_reference(spark):
+    # one batch of seeded random strings over alphabets chosen to stress
+    # hash ties (binary alphabet -> few distinct grams -> many windows
+    # where the rightmost-min tie-break decides) and boundary lengths
+    # around k and k+w-1
+    import random
+
+    rng = random.Random(1234)
+    alphabets = ["ab", "abc ", "abcdefgh ", "aa ab"]
+    texts = []
+    for i in range(60):
+        alpha = alphabets[i % len(alphabets)]
+        n = rng.choice([7, 8, 9, 15, 16, 17, 40, 200])
+        texts.append("".join(rng.choice(alpha) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r.id, r.fp, r.pos) for r in winnow_fingerprints(df).collect()}
+    want = set()
+    for i, t in enumerate(texts):
+        want |= {(i, h, p) for h, p in py_winnow(t)}
+    assert got == want
+
+
 def test_density_bound(spark):
     # fingerprint count per doc is ~2n/(w+1) selected keys, never more than
     # the number of windows (one selection per window)
