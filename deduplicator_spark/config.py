@@ -54,6 +54,12 @@ class DedupConfig:
                                           # long one — shingle-set containment
                                           # alone admits scattered fragments
 
+    # --- optional winnow tier (plans/pipeline.py, off by default) ---
+    winnow_min_score: float = 0.5         # shared fingerprints / smaller
+                                          # set, so caption-template
+                                          # boilerplate alone can't merge
+                                          # unrelated rows
+
     # --- verification (generalized ref P9 digest sanity check,
     #     DeDuplicator.java:169-172; PSNR bound from BASELINE.json) ---
     psnr_min_db: float = 40.0

@@ -31,7 +31,8 @@ from ..operators.minhash import near_caption_pairs
 from ..operators.simhash import near_image_pairs
 from ..operators.verify import verify_image_pairs
 
-TIER_PRIORITY = {"exact": 1, "near_image": 2, "near_caption": 3, "containment": 4}
+TIER_PRIORITY = {"exact": 1, "near_image": 2, "near_caption": 3,
+                 "containment": 4, "winnow": 5}
 
 
 @dataclass
@@ -76,6 +77,24 @@ def candidate_edges(images: DataFrame, cfg: DedupConfig = DEFAULT,
         parts.append(near_caption_pairs(images, cfg, prepared=prepared))
     if "containment" in tiers:
         parts.append(containment_pairs(images, cfg, prepared=prepared))
+    if "winnow" in tiers:
+        # optional 5th tier (off by default): passage-level caption overlap
+        # via winnowing fingerprints — catches shared passages between
+        # captions whose WHOLE-set Jaccard sits under the LSH threshold.
+        # score = shared fingerprints / smaller fingerprint set (containment
+        # -flavored, in [0, 1] like the other tiers); the winnow_min_score
+        # gate keeps templated boilerplate phrases (which ANY two captions
+        # of the same house style share) from merging unrelated rows —
+        # without it, a 400-image synth corpus collapses to near-one
+        # cluster on its caption template alone.
+        from ..operators.winnow import winnow_pairs
+
+        wp = winnow_pairs(images, id_col="image_id", text_col="caption")
+        score = (F.col("shared") / F.least("n_a", "n_b")).cast("double")
+        parts.append(
+            wp.select("id_a", "id_b", F.lit("winnow").alias("tier"),
+                      score.alias("score"))
+            .filter(F.col("score") >= cfg.winnow_min_score))
     edges = parts[0]
     for p in parts[1:]:
         edges = edges.unionByName(p)

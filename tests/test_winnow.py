@@ -115,6 +115,31 @@ def test_randomized_equality_with_reference(spark):
     assert got == want
 
 
+@pytest.mark.slow
+def test_pipeline_winnow_tier_catches_subthreshold_paraphrases(spark):
+    # the optional 5th tier's contract: with winnow enabled, the ONLY new
+    # duplicates over the 4-tier default are the planted sub-Jaccard-
+    # threshold paraphrases (near_caption_below — anti-pairs for the
+    # whole-set Jaccard contract, true passage-level dups for this one);
+    # nothing unrelated merges (the winnow_min_score gate holds against
+    # the caption-template boilerplate every synth caption shares)
+    from deduplicator_spark.plans.pipeline import run_pipeline
+    from deduplicator_spark.synth import _kind, synthesize_images
+
+    imgs = synthesize_images(spark, 400).persist()
+    r5 = run_pipeline(imgs, tiers=("exact", "near_image", "near_caption",
+                                   "containment", "winnow"))
+    r4 = run_pipeline(imgs)
+    d5 = {r.image_id for r in
+          r5.verdicts.filter("verdict = 'duplicate'").collect()}
+    d4 = {r.image_id for r in
+          r4.verdicts.filter("verdict = 'duplicate'").collect()}
+    assert d4 <= d5, "adding a tier must never lose duplicates"
+    extra_kinds = {_kind(int(i.split("-")[1])) for i in d5 - d4}
+    assert extra_kinds == {"near_caption_below"}
+    imgs.unpersist()
+
+
 def test_density_bound(spark):
     # fingerprint count per doc is ~2n/(w+1) selected keys, never more than
     # the number of windows (one selection per window)
