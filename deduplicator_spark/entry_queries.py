@@ -407,32 +407,43 @@ WINNOW_W = 9        # window width -> guarantee t = w + k - 1 = 16 chars
 WINNOW_DF_CAP = 16  # hot-fingerprint posting cutoff (same rule as SHINGLE_DF_CAP)
 WINNOW_MIN_SHARED = 3
 
-# winnow_fingerprint_pairs oracle: the identical algorithm in DuckDB list
-# algebra — same 40-bit md5 gram hash, same (hash+1)*2^20 - pos key packing
-# (min = smallest hash, rightmost position: robust winnowing's tie-break),
-# same df cap and min-shared gate. Integer-exact end to end.
-_WINNOW_PAIRS_SQL = f"""
-WITH d AS (
-  SELECT doc_id, text AS t FROM documents WHERE length(text) >= {WINNOW_K}
+# winnowing oracles: the identical algorithm in DuckDB list algebra — same
+# 40-bit md5 gram hash, same (hash+1)*2^20 - pos key packing (min = smallest
+# hash, rightmost position: robust winnowing's tie-break), same df cap.
+# ONE CTE renderer serves the self-join pairs oracle AND the index->probe
+# oracle so the fingerprint derivation can never drift between them.
+
+
+def _winnow_fp_ctes(alias: str, where: str = "TRUE") -> str:
+    """Render the doc -> distinct winnowing fingerprints derivation as CTEs;
+    the final CTE is named ``alias`` with columns (doc_id, fp)."""
+    return f"""
+{alias}_d AS (
+  SELECT doc_id, text AS t FROM documents
+  WHERE ({where}) AND length(text) >= {WINNOW_K}
 ),
-kk AS (
+{alias}_kk AS (
   SELECT doc_id,
     list_transform(range(1, least(length(t) - {WINNOW_K} + 1, 1048575) + 1),
       i -> (CAST('0x' || substr(md5(substr(t, i, {WINNOW_K})), 1, 10) AS BIGINT)
             + 1) * 1048576 - i) AS ks
-  FROM d
+  FROM {alias}_d
 ),
-sel AS (
+{alias}_sel AS (
   SELECT DISTINCT doc_id,
     unnest(list_transform(range(1, greatest(len(ks) - {WINNOW_W} + 1, 1) + 1),
       p -> list_min(list_slice(ks, p, p + {WINNOW_W} - 1)))) AS key
-  FROM kk
+  FROM {alias}_kk
 ),
-fp AS (
+{alias} AS (
   SELECT DISTINCT doc_id,
     ((key + (1048576 - (key % 1048576))) // 1048576) - 1 AS fp
-  FROM sel
-),
+  FROM {alias}_sel
+)"""
+
+
+_WINNOW_PAIRS_SQL = f"""
+WITH {_winnow_fp_ctes("fp")},
 n AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
 rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {WINNOW_DF_CAP}),
 post AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
@@ -443,6 +454,42 @@ p AS (
 )
 SELECT p.id_a, p.id_b, p.shared, na.n AS n_a, nb.n AS n_b
 FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+"""
+
+_WINNOW_PROBE_SQL = f"""
+WITH {_winnow_fp_ctes("ifp", "doc_id % 10 = 0")},
+{_winnow_fp_ctes("pfp", "doc_id % 10 <> 0")},
+np AS (SELECT doc_id, count(*) AS n FROM pfp GROUP BY doc_id),
+rare AS (SELECT fp FROM ifp GROUP BY fp
+         HAVING count(*) <= {WINNOW_DF_CAP}),
+post AS (SELECT i.doc_id, i.fp FROM ifp i JOIN rare USING (fp)),
+hits AS (
+  SELECT p.doc_id AS probe_id, post.doc_id AS ref, count(*) AS shared
+  FROM pfp p JOIN post ON p.fp = post.fp
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT probe_id, ref, shared, np.n AS n_probe,
+         shared * 1.0 / np.n AS score
+  FROM hits JOIN np ON np.doc_id = hits.probe_id
+  WHERE shared * 1.0 / np.n >= {DEFAULT.winnow_min_score}
+),
+top AS (
+  SELECT probe_id, ref, shared, score,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, shared DESC, ref ASC) AS rn
+  FROM scored
+)
+SELECT d.doc_id AS probe_id,
+       CASE WHEN t.ref IS NOT NULL THEN 'overlap' ELSE 'novel' END AS verdict,
+       t.ref AS refers_to,
+       t.shared,
+       CAST(coalesce(np.n, 0) AS BIGINT) AS n_probe,
+       round(t.score, 6) AS score
+FROM documents d
+LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON t.probe_id = d.doc_id
+LEFT JOIN np ON np.doc_id = d.doc_id
+WHERE d.doc_id % 10 <> 0
 """
 
 
@@ -459,6 +506,24 @@ def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return winnow_pairs(docs, WINNOW_K, WINNOW_W,
                         WINNOW_DF_CAP, WINNOW_MIN_SHARED)
+
+
+def q_winnow_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.1/§3.2 index->probe lifecycle at PASSAGE granularity
+    (plans/winnow_index.py), on the same decade split as the image and
+    caption lifecycles: anchors (doc_id%10==0) are indexed, the rest probe.
+    A probe whose winnowing fingerprints are >= 50% covered by one indexed
+    doc gets verdict 'overlap' with top-1 (score desc, shared desc, id asc)
+    lineage; else 'novel'. Oracle: identical cross-set fingerprint join in
+    DuckDB, sharing the fingerprint CTE renderer with the pairs oracle."""
+    from .plans.winnow_index import build_winnow_index, probe_winnow
+
+    docs = load(spark, sf_dir, "documents")
+    index = build_winnow_index(
+        docs.filter(F.col("doc_id") % 10 == 0), WINNOW_K, WINNOW_W)
+    probes = docs.filter(F.col("doc_id") % 10 != 0)
+    return probe_winnow(probes, index, WINNOW_K, WINNOW_W,
+                        WINNOW_DF_CAP, DEFAULT.winnow_min_score)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3352,6 +3417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
+    "winnow_index_probe": q_winnow_index_probe,
     "containment_pairs": q_containment_pairs,
     "dedup_clusters": q_dedup_clusters,
     "cluster_stats": q_cluster_stats,
@@ -3637,6 +3703,7 @@ FROM documents
     "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
     "prefix_jaccard_pairs": _JACCARD_PAIRS_SQL,
     "winnow_fingerprint_pairs": _WINNOW_PAIRS_SQL,
+    "winnow_index_probe": _WINNOW_PROBE_SQL,
     "containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     # full recompute over the surviving subgraph — the incremental repair
