@@ -54,6 +54,29 @@ POS_SPACE = 1 << 20
 _H40 = "CAST(conv(substring(md5({g}), 1, 10), 16, 10) AS BIGINT)"
 
 
+def keys_expr(k: int, text: str = "t") -> str:
+    """SQL expression: the per-gram packed key array over column ``text``."""
+    m = POS_SPACE
+    g = f"substring({text}, i, {k})"
+    return (f"transform(sequence(1, least(length({text}) - {k} + 1,"
+            f" {m - 1})), i -> ({_H40.format(g=g)} + 1) * {m}L - i)")
+
+
+def selected_expr(w: int, keys: str = "ks") -> str:
+    """SQL expression: per-window min over the key array ``keys`` (robust
+    winnowing selection; duplicates across overlapping windows remain)."""
+    return (f"transform(sequence(1, greatest(size({keys}) - {w} + 1, 1)), "
+            f"p -> array_min(slice({keys}, p, {w})))")
+
+
+def fp_array_expr(w: int, keys: str = "ks") -> str:
+    """SQL expression: the DISTINCT decoded fingerprint hashes as an array —
+    the per-row (streaming-safe, no shuffle) form of winnow_fingerprints."""
+    m = POS_SPACE
+    decode = f"key -> shiftright(key + ({m} - pmod(key, {m}L)), 20) - 1"
+    return f"array_distinct(transform({selected_expr(w, keys)}, {decode}))"
+
+
 def winnow_selected_keys(docs: DataFrame, k: int = 8, w: int = 9,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
@@ -61,18 +84,26 @@ def winnow_selected_keys(docs: DataFrame, k: int = 8, w: int = 9,
     key encodes (gram hash, gram position); docs shorter than k chars have
     no gram and are absent. k/w give the substring-match guarantee
     t = w + k - 1 chars."""
-    m = POS_SPACE
-    g = f"substring(t, i, {k})"
-    keys = (f"transform(sequence(1, least(length(t) - {k} + 1, {m - 1})), "
-            f"i -> ({_H40.format(g=g)} + 1) * {m}L - i)")
-    sel = (f"transform(sequence(1, greatest(size(ks) - {w} + 1, 1)), "
-           f"p -> array_min(slice(ks, p, {w})))")
     return (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .filter(F.length("t") >= k)
-        .withColumn("ks", F.expr(keys))
-        .select("id", F.explode(F.expr(sel)).alias("key"))
+        .withColumn("ks", F.expr(keys_expr(k)))
+        .select("id", F.explode(F.expr(selected_expr(w))).alias("key"))
         .distinct()
+    )
+
+
+def winnow_fp_arrays(docs: DataFrame, k: int = 8, w: int = 9,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, fps) — each doc's distinct fingerprint hashes as one array,
+    computed row-locally (works on STREAMING frames: no explode+distinct
+    shuffle). Element sets equal winnow_fingerprints' fp column per doc."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .filter(F.length("t") >= k)
+        .withColumn("ks", F.expr(keys_expr(k)))
+        .select("id", F.expr(fp_array_expr(w)).alias("fps"))
     )
 
 
