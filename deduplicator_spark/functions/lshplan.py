@@ -38,8 +38,11 @@ def miss_prob(s: float, bands: int, rows: int) -> float:
 
 def error_profile(bands: int, rows: int, t: float,
                   steps: int = 2000) -> tuple[float, float]:
-    """(fn, fp): mean miss probability over s in [t, 1] and mean candidate
-    probability over s in [0, t) — midpoint rule, deterministic."""
+    """(fn, fp): the INTEGRAL of the miss probability over s in [t, 1] and
+    of the candidate probability over s in [0, t) — midpoint rule,
+    deterministic. True integrals (mean x interval length), so the header's
+    cost formula fn_weight * FN + FP holds literally: a mean-based variant
+    would silently rescale fn_weight by t/(1-t)."""
     fn = fp = 0.0
     n_hi = max(int(round(steps * (1.0 - t))), 1)
     for i in range(n_hi):
@@ -49,7 +52,7 @@ def error_profile(bands: int, rows: int, t: float,
     for i in range(n_lo):
         s = t * (i + 0.5) / n_lo
         fp += candidate_prob(s, bands, rows)
-    return fn / n_hi, fp / n_lo
+    return fn / n_hi * (1.0 - t), fp / n_lo * t
 
 
 @dataclass(frozen=True)
@@ -76,20 +79,17 @@ def choose_lsh_params(perms: int = 128, t: float = 0.8,
     threshold, so the default rejection bound sits 4 orders of magnitude
     under the 1e-2 recall allowance. Under that constraint the choice is
     weight-insensitive (for perms=128, t=0.8 every fn_weight in 1..1000
-    lands on 32x4 — the frozen config). Deterministic tie-break: lower
-    cost, then fewer rows."""
+    lands on 32x4 — the frozen config). Ties break to fewer rows: rows
+    ascend and strict < keeps the incumbent."""
     best: LshPlan | None = None
     for rows in range(1, perms + 1):
         bands = perms // rows
-        if bands < 1:
-            break
         m_t = miss_prob(t, bands, rows)
         if m_t > max_miss_at_t:
             continue
         fn, fp = error_profile(bands, rows, t)
         cost = fn_weight * fn + fp
-        if (best is None or cost < best.cost - 1e-15
-                or (abs(cost - best.cost) <= 1e-15 and rows < best.rows)):
+        if best is None or cost < best.cost:
             best = LshPlan(bands, rows, fn, fp, m_t, cost)
     if best is None:
         raise ValueError(

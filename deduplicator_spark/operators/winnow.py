@@ -48,6 +48,8 @@ from pyspark.sql import functions as F
 
 # position space per document: keys pack (hash, position) into one BIGINT
 POS_SPACE = 1 << 20
+POS_SHIFT = POS_SPACE.bit_length() - 1  # decode shift, derived so the two
+                                        # constants can never drift apart
 
 # 40-bit md5-derived gram hash, identical in DuckDB as
 #   CAST('0x' || substr(md5(g), 1, 10) AS BIGINT)
@@ -72,8 +74,8 @@ def selected_expr(w: int, keys: str = "ks") -> str:
 def fp_array_expr(w: int, keys: str = "ks") -> str:
     """SQL expression: the DISTINCT decoded fingerprint hashes as an array —
     the per-row (streaming-safe, no shuffle) form of winnow_fingerprints."""
-    m = POS_SPACE
-    decode = f"key -> shiftright(key + ({m} - pmod(key, {m}L)), 20) - 1"
+    m, s = POS_SPACE, POS_SHIFT
+    decode = f"key -> shiftright(key + ({m} - pmod(key, {m}L)), {s}) - 1"
     return f"array_distinct(transform({selected_expr(w, keys)}, {decode}))"
 
 
@@ -115,8 +117,20 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 9,
     exact-double range, so the decode is integer shifts only."""
     sel = winnow_selected_keys(docs, k, w, id_col, text_col)
     pos = F.lit(POS_SPACE) - F.pmod(F.col("key"), F.lit(POS_SPACE))
-    fp = F.shiftright(F.col("key") + pos, 20) - F.lit(1)
+    fp = F.shiftright(F.col("key") + pos, POS_SHIFT) - F.lit(1)
     return sel.select("id", fp.alias("fp"), pos.alias("pos"))
+
+
+def capped_postings(fp: DataFrame, df_cap: int) -> DataFrame:
+    """Drop fingerprints held by more than df_cap documents from a distinct
+    (…, fp) postings frame — THE bounded-join rule of the winnow tier,
+    shared by the pairs self-join, the batch probe and the streaming index
+    so the three (and their oracles, which mirror it) can never drift."""
+    rare = (fp.groupBy("fp").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap).select("fp"))
+    # rare's cardinality tracks the corpus's fingerprint count — keep it off
+    # the driver-broadcast path (BENCH/SF100X_GATE.md hazard)
+    return fp.join(rare.hint("shuffle_hash"), "fp")
 
 
 def winnow_pairs(docs: DataFrame, k: int = 8, w: int = 9,
@@ -137,11 +151,7 @@ def winnow_pairs(docs: DataFrame, k: int = 8, w: int = 9,
     )
     n = fp.groupBy("id").agg(F.count("*").alias("n"))
     # distinct-doc df == plain count(*) here (fp is distinct per doc)
-    rare = (fp.groupBy("fp").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap).select("fp"))
-    # rare's cardinality tracks the corpus's fingerprint count — keep it off
-    # the driver-broadcast path (BENCH/SF100X_GATE.md hazard)
-    post = fp.join(rare.hint("shuffle_hash"), "fp")
+    post = capped_postings(fp, df_cap)
     pairs = (
         post.alias("a")
         .join(post.alias("b"),

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.winnow import winnow_fingerprints
+from ..operators.winnow import capped_postings, winnow_fingerprints
 
 
 def build_winnow_index(docs: DataFrame, k: int = 8, w: int = 9,
@@ -50,10 +50,7 @@ def probe_winnow(probes: DataFrame, index: DataFrame, k: int = 8, w: int = 9,
     pf = (winnow_fingerprints(probes, k, w, id_col, text_col)
           .select(F.col("id").alias("probe_id"), "fp").distinct().persist())
     n_probe = pf.groupBy("probe_id").agg(F.count("*").alias("n_probe"))
-    rare = (index.groupBy("fp")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap).select("fp"))
-    post = index.join(rare.hint("shuffle_hash"), "fp")
+    post = capped_postings(index, df_cap)
     hits = (
         pf.join(post, "fp")
         .groupBy("probe_id", F.col("id").alias("ref"))

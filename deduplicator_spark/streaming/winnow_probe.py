@@ -33,41 +33,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.winnow import winnow_fingerprints, winnow_fp_arrays
+from ..operators.winnow import (
+    capped_postings,
+    winnow_fingerprints,
+    winnow_fp_arrays,
+)
 
 
 def winnow_index_for_stream(index_docs: DataFrame, k: int = 8, w: int = 9,
                             df_cap: int = 16,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
-    """Static side: (fp, idx_id, fps_i) — df-capped fingerprint postings,
-    each carrying the doc's full CAPPED fingerprint array for the
-    stream-side shared-set computation. At cluster scale store this
-    bucketed by fp (plans/bucketed.py) so each micro-batch shuffles only
-    the probe side."""
+                            text_col: str = "text"
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Static side, TWO linear frames: df-capped fingerprint postings
+    (fp, idx_id) and per-doc capped fingerprint arrays (idx_id, fps_i).
+    Kept separate so the stored index is linear in fingerprint count — a
+    single frame carrying each doc's array on every posting row would be
+    QUADRATIC in per-doc fingerprints (a 2k-fingerprint doc would store
+    4M longs); the probe join attaches the array once per matched pair
+    instead. PERSIST (or write out) both frames before wiring them into a
+    stream: the static side of a stream-static join re-evaluates every
+    micro-batch, so an unmaterialized plan re-fingerprints the whole index
+    corpus per trigger. At cluster scale store the postings bucketed by fp
+    (plans/bucketed.py) so each micro-batch shuffles only the probe side."""
     fp = (winnow_fingerprints(index_docs, k, w, id_col, text_col)
           .select(F.col("id").alias("idx_id"), "fp").distinct())
-    rare = (fp.groupBy("fp").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap).select("fp"))
-    post = fp.join(rare.hint("shuffle_hash"), "fp")
+    post = capped_postings(fp, df_cap)
     arrays = post.groupBy("idx_id").agg(
         F.sort_array(F.collect_set("fp")).alias("fps_i"))
-    return post.join(arrays, "idx_id").select("fp", "idx_id", "fps_i")
+    return post, arrays
 
 
-def probe_winnow_stream(docs: DataFrame, index: DataFrame,
+def probe_winnow_stream(docs: DataFrame, index: tuple[DataFrame, DataFrame],
                         k: int = 8, w: int = 9,
                         min_score: float = 0.5,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Probe a stream of (id, text) rows against winnow_index_for_stream's
-    static frame. Returns one row per verified hit:
+    (postings, arrays) static frames. Returns one row per verified hit:
     (probe_id, verdict='overlap', refers_to, shared, n_probe, score)."""
+    post, arrays = index
     p = (winnow_fp_arrays(docs, k, w, id_col, text_col)
          .select(F.col("id").alias("probe_id"),
                  F.col("fps").alias("fps_p"))
          .withColumn("fp", F.explode("fps_p")))
-    j = p.join(index, "fp")
+    j = p.join(post, "fp").join(arrays, "idx_id")
     shared_set = F.array_intersect("fps_p", "fps_i")
     return (
         j.withColumn("_shared_set", shared_set)

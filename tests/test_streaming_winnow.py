@@ -39,7 +39,8 @@ def test_streaming_winnow_probe_matches_batch(spark, tmp_path):
         "doc_id long, text string",
     )
 
-    static = winnow_index_for_stream(index_docs).persist()
+    post, arrays = winnow_index_for_stream(index_docs)
+    static = (post.persist(), arrays.persist())
     src = str(tmp_path / "winnow_src")
     probes.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
