@@ -526,6 +526,94 @@ def q_winnow_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WINNOW_DF_CAP, DEFAULT.winnow_min_score)
 
 
+def q_winnow_index_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-increment winnow index GROWTH — the reference's APPEND mode
+    (K1, IndexBuilder.java:94-104) at passage granularity, cross-engine
+    proven over three chained increments: decade anchors seed the index,
+    each increment (doc_id%3 buckets of the rest) probes the CURRENT index
+    and only its novels' fingerprints are appended before the next
+    increment probes — a verdict in increment t can refer to a row that
+    entered as a novel in increment t-1, which a single-shot probe cannot
+    exhibit. Oracle: three chained CTE stages with the identical df-cap
+    (recomputed per stage on the grown index), score gate and top-1
+    tiebreak."""
+    from .plans.winnow_index import build_winnow_index, probe_and_extend_winnow
+
+    docs = load(spark, sf_dir, "documents")
+    index = build_winnow_index(
+        docs.filter(F.col("doc_id") % 10 == 0), WINNOW_K, WINNOW_W)
+    outs = []
+    for t in range(3):
+        inc = docs.filter(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 == t))
+        verdicts, index = probe_and_extend_winnow(
+            inc, index, WINNOW_K, WINNOW_W,
+            WINNOW_DF_CAP, DEFAULT.winnow_min_score)
+        # lazy localCheckpoint truncates the geometric lineage growth of
+        # the chained plans (image_index_increments' lesson)
+        verdicts = verdicts.localCheckpoint(eager=False)
+        index = index.localCheckpoint(eager=False)
+        outs.append(verdicts.select(
+            F.lit(t).cast("long").alias("increment"), "probe_id", "verdict",
+            "refers_to", "shared", "n_probe", "score"))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def _winnow_increments_oracle() -> str:
+    """Three chained probe->append stages rendered as one CTE pipeline."""
+    ctes = [_winnow_fp_ctes("afp", "doc_id % 10 = 0").lstrip()]
+    for t in range(3):
+        ctes.append(_winnow_fp_ctes(
+            f"p{t}fp", f"doc_id % 10 <> 0 AND doc_id % 3 = {t}").lstrip())
+    ctes.append("idx0 AS (SELECT doc_id, fp FROM afp)")
+    outs = []
+    ms = DEFAULT.winnow_min_score
+    for t in range(3):
+        ctes.append(f"""
+rare{t} AS (SELECT fp FROM idx{t} GROUP BY fp
+            HAVING count(*) <= {WINNOW_DF_CAP}),
+post{t} AS (SELECT i.doc_id, i.fp FROM idx{t} i JOIN rare{t} USING (fp)),
+np{t} AS (SELECT doc_id, count(*) AS n FROM p{t}fp GROUP BY doc_id),
+hits{t} AS (
+  SELECT p.doc_id AS probe_id, post{t}.doc_id AS ref, count(*) AS shared
+  FROM p{t}fp p JOIN post{t} ON p.fp = post{t}.fp GROUP BY 1, 2
+),
+scored{t} AS (
+  SELECT probe_id, ref, shared, np{t}.n AS n_probe,
+         shared * 1.0 / np{t}.n AS score
+  FROM hits{t} JOIN np{t} ON np{t}.doc_id = hits{t}.probe_id
+  WHERE shared * 1.0 / np{t}.n >= {ms}
+),
+top{t} AS (
+  SELECT probe_id, ref, shared, score,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, shared DESC, ref ASC) AS rn
+  FROM scored{t}
+),
+out{t} AS (
+  SELECT CAST({t} AS BIGINT) AS increment, d.doc_id AS probe_id,
+         CASE WHEN x.ref IS NOT NULL THEN 'overlap' ELSE 'novel' END
+           AS verdict,
+         x.ref AS refers_to, x.shared,
+         CAST(coalesce(np{t}.n, 0) AS BIGINT) AS n_probe,
+         round(x.score, 6) AS score
+  FROM documents d
+  LEFT JOIN (SELECT * FROM top{t} WHERE rn = 1) x ON x.probe_id = d.doc_id
+  LEFT JOIN np{t} ON np{t}.doc_id = d.doc_id
+  WHERE d.doc_id % 10 <> 0 AND d.doc_id % 3 = {t}
+),
+idx{t + 1} AS (
+  SELECT doc_id, fp FROM idx{t}
+  UNION ALL
+  SELECT doc_id, fp FROM p{t}fp
+  WHERE doc_id IN (SELECT probe_id FROM out{t} WHERE verdict = 'novel')
+)""".lstrip())
+        outs.append(f"SELECT * FROM out{t}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup edges; every doc gets
     a cluster id (min reachable doc_id). Oracle: recursive CTE closure.
@@ -3418,6 +3506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
     "winnow_index_probe": q_winnow_index_probe,
+    "winnow_index_increments": q_winnow_index_increments,
     "containment_pairs": q_containment_pairs,
     "dedup_clusters": q_dedup_clusters,
     "cluster_stats": q_cluster_stats,
@@ -3704,6 +3793,7 @@ FROM documents
     "prefix_jaccard_pairs": _JACCARD_PAIRS_SQL,
     "winnow_fingerprint_pairs": _WINNOW_PAIRS_SQL,
     "winnow_index_probe": _WINNOW_PROBE_SQL,
+    "winnow_index_increments": _winnow_increments_oracle(),
     "containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     # full recompute over the surviving subgraph — the incremental repair

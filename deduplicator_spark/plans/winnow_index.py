@@ -39,6 +39,26 @@ def build_winnow_index(docs: DataFrame, k: int = 8, w: int = 9,
             .select("id", "fp").distinct())
 
 
+def probe_and_extend_winnow(probes: DataFrame, index: DataFrame,
+                            k: int = 8, w: int = 9,
+                            df_cap: int = 16, min_score: float = 0.5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text"
+                            ) -> tuple[DataFrame, DataFrame]:
+    """APPEND indexing mode (reference K1: IndexingLauncher CREATE vs
+    APPEND, IndexBuilder.java:94-104) at passage granularity: probe against
+    the CURRENT index, then append the NOVEL probes' fingerprints so the
+    next increment can resolve against them. Returns (verdicts,
+    extended_index)."""
+    v = probe_winnow(probes, index, k, w, df_cap, min_score,
+                     id_col, text_col)
+    pf = (winnow_fingerprints(probes, k, w, id_col, text_col)
+          .select("id", "fp").distinct())
+    novel_ids = (v.filter(F.col("verdict") == "novel")
+                 .select(F.col("probe_id").alias("id")))
+    return v, index.unionByName(pf.join(novel_ids, "id"))
+
+
 def probe_winnow(probes: DataFrame, index: DataFrame, k: int = 8, w: int = 9,
                  df_cap: int = 16, min_score: float = 0.5,
                  id_col: str = "doc_id",
