@@ -50,25 +50,32 @@ def probe_and_extend_winnow(probes: DataFrame, index: DataFrame,
     the CURRENT index, then append the NOVEL probes' fingerprints so the
     next increment can resolve against them. Returns (verdicts,
     extended_index)."""
-    v = probe_winnow(probes, index, k, w, df_cap, min_score,
-                     id_col, text_col)
+    # ONE fingerprint pass serves both the probe and the novel append
     pf = (winnow_fingerprints(probes, k, w, id_col, text_col)
-          .select("id", "fp").distinct())
+          .select(F.col("id").alias("probe_id"), "fp").distinct().persist())
+    v = probe_winnow(probes, index, k, w, df_cap, min_score,
+                     id_col, text_col, probe_fps=pf)
     novel_ids = (v.filter(F.col("verdict") == "novel")
-                 .select(F.col("probe_id").alias("id")))
-    return v, index.unionByName(pf.join(novel_ids, "id"))
+                 .select("probe_id"))
+    appended = (pf.join(novel_ids, "probe_id")
+                .select(F.col("probe_id").alias("id"), "fp"))
+    return v, index.unionByName(appended)
 
 
 def probe_winnow(probes: DataFrame, index: DataFrame, k: int = 8, w: int = 9,
                  df_cap: int = 16, min_score: float = 0.5,
                  id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 probe_fps: DataFrame | None = None) -> DataFrame:
     """Probe (id, text) rows against a build_winnow_index frame. Returns
     one row per probe: (probe_id, verdict, refers_to, shared, n_probe,
     score). score = shared / n_probe (how much of the PROBE's fingerprint
-    set the indexed doc covers); null refers_to/shared/score for novels."""
-    pf = (winnow_fingerprints(probes, k, w, id_col, text_col)
-          .select(F.col("id").alias("probe_id"), "fp").distinct().persist())
+    set the indexed doc covers); null refers_to/shared/score for novels.
+    ``probe_fps`` (probe_id, fp) lets a caller that already fingerprinted
+    the probes (the APPEND lifecycle) share the pass."""
+    pf = probe_fps if probe_fps is not None else (
+        winnow_fingerprints(probes, k, w, id_col, text_col)
+        .select(F.col("id").alias("probe_id"), "fp").distinct().persist())
     n_probe = pf.groupBy("probe_id").agg(F.count("*").alias("n_probe"))
     post = capped_postings(index, df_cap)
     hits = (
