@@ -54,6 +54,39 @@ def load1() -> float:
     return round(os.getloadavg()[0], 2)
 
 
+def primary_line(timings: dict[str, float], n_queries: int, n_oracled: int,
+                 total: float, sf: float, pipeline: dict, cores: int,
+                 warm: int, cap: int = 1900) -> str:
+    """Build the single driver-facing JSON line, shrinking the per-query
+    timing dict until the line fits the driver's 2,000-char output tail
+    (round-3 lesson: an overgrown line parses as null). Pure so the cap is
+    pytest-pinned against future query-count growth."""
+    items = sorted(((k, round(v, 2)) for k, v in timings.items()),
+                   key=lambda kv: (-kv[1], kv[0]))
+    keep = len(items)
+    while True:
+        shown, rest = dict(items[:keep]), items[keep:]
+        line = json.dumps({
+            "metric": f"best-of-{warm}-warm total: {n_queries} queries "
+                      f"({n_oracled} oracled) + e2e image dedup pipeline"
+                      + (f"; {len(rest)} fastest queries aggregated, "
+                         "full detail in BENCH/last_run.json" if rest else ""),
+            "value": total,
+            "unit": "sec",
+            "queries": shown,
+            **({"queries_aggregated": len(rest),
+                "aggregated_total": round(sum(v for _, v in rest), 2)}
+               if rest else {}),
+            "sf": sf,
+            "pipeline": pipeline,
+            "cores": cores,
+        }, separators=(",", ":"))
+        if len(line) <= cap or keep == 0:
+            break
+        keep = max(keep - 5, 0)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_of(sf_dir)
@@ -137,30 +170,8 @@ def main() -> None:
     # primary line keeps only as many of the SLOWEST per-query timings as
     # fit in ~1,900 chars and rolls the rest into one aggregate; the full
     # per-query detail is always in the sidecar
-    items = sorted(((k, round(v, 2)) for k, v in timings.items()),
-                   key=lambda kv: (-kv[1], kv[0]))
-    keep = len(items)
-    while True:
-        shown, rest = dict(items[:keep]), items[keep:]
-        line = json.dumps({
-            "metric": f"best-of-{warm}-warm total: {len(qs)} queries "
-                      f"({n_oracled} oracled) + e2e image dedup pipeline"
-                      + (f"; {len(rest)} fastest queries aggregated, "
-                         "full detail in BENCH/last_run.json" if rest else ""),
-            "value": total,
-            "unit": "sec",
-            "queries": shown,
-            **({"queries_aggregated": len(rest),
-                "aggregated_total": round(sum(v for _, v in rest), 2)}
-               if rest else {}),
-            "sf": sf,
-            "pipeline": pipeline,
-            "cores": cores,
-        }, separators=(",", ":"))
-        if len(line) <= 1900 or keep == 0:
-            break
-        keep -= 5
-    print(line)
+    print(primary_line(timings, len(qs), n_oracled, total, sf, pipeline,
+                       cores, warm))
 
 
 if __name__ == "__main__":

@@ -61,6 +61,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism)
 
 
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents is one small parquet file -> ONE input split, which made
+    every text tier's md5-per-gram / shingle hashing run on a single core
+    (the winnow pass alone was 6+ s serial at sf0.1). Spread it up front,
+    same rationale as load_events: at real scale the source splits
+    naturally — small-file testdata artifact, and the ~600 KB shuffle is
+    noise next to the CPU it unlocks."""
+    return load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single-split artifact as load_documents, for the ANN tiers'
+    per-row vector arithmetic."""
+    return load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # captures: reference CrawlDataItem analog derived deterministically from
 # `events` (FIXTURES.md §2). The same derivation exists in SQL (_CAPTURES_SQL)
@@ -331,7 +349,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), with hot posting lists dropped above SHINGLE_DF_CAP so one
     boilerplate shingle can never go quadratic. Oracle: identical algorithm
     (including the cap) in SQL."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     sh = docs.select("doc_id", shingles(tokens(F.col("text")), SHINGLE_K).alias("sh"))
     e = sh.select("doc_id", F.explode("sh").alias("shingle")).persist()
     rare = (
@@ -365,7 +383,7 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared LSH tier: one persisted Arrow pass over captions feeds the band
     explode AND both verify join sides — without the persist the MinHash UDF
     re-executes 3x (it is the dominant cost of these queries)."""
-    docs = _docs_as_items(load(spark, sf_dir, "documents"))
+    docs = _docs_as_items(load_documents(spark, sf_dir))
     prep = prepared_features(docs).persist()
     cands = candidate_pairs_from_bands(
         banded_from_prepared(prep),
@@ -393,7 +411,7 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate strategies against one exact-Jaccard twin."""
     from .operators.prefixjoin import prefix_filtered_pairs
 
-    docs = _docs_as_items(load(spark, sf_dir, "documents"))
+    docs = _docs_as_items(load_documents(spark, sf_dir))
     pairs = prefix_filtered_pairs(docs, JACCARD_T)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -503,7 +521,7 @@ def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: identical algorithm in DuckDB list algebra."""
     from .operators.winnow import winnow_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return winnow_pairs(docs, WINNOW_K, WINNOW_W,
                         WINNOW_DF_CAP, WINNOW_MIN_SHARED)
 
@@ -518,7 +536,7 @@ def q_winnow_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, sharing the fingerprint CTE renderer with the pairs oracle."""
     from .plans.winnow_index import build_winnow_index, probe_winnow
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     index = build_winnow_index(
         docs.filter(F.col("doc_id") % 10 == 0), WINNOW_K, WINNOW_W)
     probes = docs.filter(F.col("doc_id") % 10 != 0)
@@ -537,20 +555,33 @@ def q_winnow_index_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhibit. Oracle: three chained CTE stages with the identical df-cap
     (recomputed per stage on the grown index), score gate and top-1
     tiebreak."""
+    from .operators.winnow import winnow_fingerprints
     from .plans.winnow_index import build_winnow_index, probe_and_extend_winnow
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     index = build_winnow_index(
         docs.filter(F.col("doc_id") % 10 == 0), WINNOW_K, WINNOW_W)
     outs = []
+    pfs = []
     for t in range(3):
         inc = docs.filter(
             (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 == t))
+        # fingerprint slices are persisted HERE (not inside
+        # probe_and_extend_winnow) so they can be released once the final
+        # checkpoint pins the results — ADVICE r4: the old per-call
+        # persists leaked for the life of the session, and the leak is
+        # measurable (repeat runs degraded ~9 s -> ~13 s; with the
+        # release below they hold steady)
+        pf = (winnow_fingerprints(inc, WINNOW_K, WINNOW_W)
+              .select(F.col("id").alias("probe_id"), "fp")
+              .distinct().persist())
+        pfs.append(pf)
         verdicts, index = probe_and_extend_winnow(
             inc, index, WINNOW_K, WINNOW_W,
-            WINNOW_DF_CAP, DEFAULT.winnow_min_score)
+            WINNOW_DF_CAP, DEFAULT.winnow_min_score, probe_fps=pf)
         # lazy localCheckpoint truncates the geometric lineage growth of
-        # the chained plans (image_index_increments' lesson)
+        # the chained plans (image_index_increments' lesson) while keeping
+        # the three stages schedulable inside ONE final job
         verdicts = verdicts.localCheckpoint(eager=False)
         index = index.localCheckpoint(eager=False)
         outs.append(verdicts.select(
@@ -558,7 +589,13 @@ def q_winnow_index_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "refers_to", "shared", "n_probe", "score"))
     from functools import reduce
 
-    return reduce(lambda a, b: a.unionByName(b), outs)
+    out = reduce(lambda a, b: a.unionByName(b), outs)
+    # one eager checkpoint materializes the whole chain, after which the
+    # fingerprint caches are dead weight and can be dropped
+    out = out.localCheckpoint(eager=True)
+    for pf in pfs:
+        pf.unpersist()
+    return out
 
 
 def _winnow_increments_oracle() -> str:
@@ -619,7 +656,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cluster id (min reachable doc_id). Oracle: recursive CTE closure.
     Shares the persisted LSH tier with q_minhash_lsh_pairs instead of
     recomputing the whole cascade."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     pairs = _lsh_verified_pairs(spark, sf_dir)
     cc = connected_components(
         canonical_pairs(pairs.select("id_a", "id_b")),
@@ -642,7 +679,7 @@ def q_cluster_retract_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits (retracted cut vertices) and re-labels (retracted min-id reps)."""
     from .operators.components import repair_clusters
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     nodes = docs.select(F.format_string("%012d", "doc_id").alias("image_id"))
     pairs = canonical_pairs(
         _lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b"))
@@ -676,7 +713,7 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC output, then a bounded groupBy over sizes; the expensive parts (LSH
     tier, components) are shared with q_dedup_clusters via the persisted
     tier."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     pairs = _lsh_verified_pairs(spark, sf_dir)
     cc = connected_components(
         canonical_pairs(pairs.select("id_a", "id_b")),
@@ -700,7 +737,7 @@ def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted LSH tier + the same CC operator as q_dedup_clusters; the extra
     work is one token count per doc (Column algebra) and one window over
     clusters — no new shuffle beyond groupBy(cluster_id)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     pairs = _lsh_verified_pairs(spark, sf_dir)
     cc = connected_components(
         canonical_pairs(pairs.select("id_a", "id_b")),
@@ -742,7 +779,7 @@ def q_cluster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC are shared (persisted tier); on top is ONE window over cluster_id
     (rank + count in the same partition pass). sqrt/ceil/round are Column
     algebra; no new shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     pairs = _lsh_verified_pairs(spark, sf_dir)
     cc = connected_components(
         canonical_pairs(pairs.select("id_a", "id_b")),
@@ -812,7 +849,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from manufacturing contamination). Reference analog: the reference keys
     every verdict on the canonical original (DeDuplicator.java:149-205);
     here the cluster id is that canonical key, applied to split assignment."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     pairs = _lsh_verified_pairs(spark, sf_dir)
     cc = connected_components(
         canonical_pairs(pairs.select("id_a", "id_b")),
@@ -876,7 +913,7 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-shingle reasoning as ngram_jaccard_pairs does NOT apply: the join is
     train x eval, never train x train, so a boilerplate shingle costs
     O(n_train_postings x n_eval_postings), bounded by the broadcast side."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     sh = docs.select("doc_id", shingles(tokens(F.col("text")), SHINGLE_K).alias("sh"))
     ev = sh.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("eval_id"), F.explode("sh").alias("shingle"))
@@ -912,7 +949,7 @@ def q_eval_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate) shuffle into the per-doc island merge."""
     from .plans.curate import eval_contaminated_spans
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     ev = docs.filter(F.col("doc_id") % 100 == 0)
     train = docs.filter(F.col("doc_id") % 100 != 0)
     return eval_contaminated_spans(train, ev, k=SHINGLE_K).select(
@@ -954,7 +991,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-gram occurrences that are repeats of an earlier k-gram in the SAME
     doc. Pure Column algebra over the token array — no shuffle at all; at
     100 TB this is a map-only pass fused into whatever scan runs first."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     t = tokens(F.col("text"))
     windows = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(t) - SHINGLE_K, F.lit(0))),
@@ -1018,7 +1055,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast."""
     from .plans.curate import _gated_broadcast
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     t = tokens(F.col("text"))
     n_chunks = F.ceil(F.size(t) / LINE_W).cast("int")
     chunk_arr = F.transform(
@@ -1095,7 +1132,7 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim >= 2 times corpus-wide in 5-token windows."""
     from .operators.passages import repeated_passages
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return repeated_passages(docs).select(
         "doc_id", "span_start", "span_end", "span_tokens")
 
@@ -1107,7 +1144,7 @@ def q_repeated_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule) guarantees the fraction never exceeds 1."""
     from .operators.passages import repeated_token_fraction
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return repeated_token_fraction(docs).select(
         "doc_id", "n_tokens", "repeated_tokens", "repeated_frac")
 
@@ -1170,7 +1207,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality:no_stopwords > near_duplicate) from the exact-Jaccard join."""
     from .plans.curate import curate_documents
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return curate_documents(
         docs.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text"),
         docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text"),
@@ -1288,7 +1325,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial content reuse."""
     from .operators.containment import containment_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     base = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
     longs = (
         base.groupBy(F.expr("doc_id DIV 4").alias("g"))
@@ -1380,7 +1417,7 @@ JOIN lng ll ON ll.item_id = c.id_l
 def q_exact_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier-0 exact dedup table: digest + per-digest group size and
     representative (ref DIGEST_ANY + last-wins, IndexBuilder.java:227-236)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     d = docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
     w = Window.partitionBy("digest")
     return d.select(
@@ -1403,7 +1440,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-pairs. Adds one bounded groupBy over the already-bounded pair
     set; dup_chars sums the dropped side's n_chars (the bytes dedup
     saves, attributed to the pair)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
         F.least("id_a", "id_b").alias("kept"),
         F.greatest("id_a", "id_b").alias("dropped"),
@@ -1440,7 +1477,7 @@ GROUP BY 1, 2
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: minimum md5 over the shingle set (one-permutation
     MinHash) — cheap join key for fingerprint-level dedup."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     sh = docs.select("doc_id", shingles(tokens(F.col("text")), SHINGLE_K).alias("sh"))
     return sh.select(
         "doc_id",
@@ -1461,7 +1498,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard); no driver-side loop, no collect. Output keeps EVERY gated doc
     with its running total and a selected flag so downstream can re-cut at
     a different budget without recomputing."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
     scored = t.select(
         "doc_id", "lang",
@@ -1505,7 +1542,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket is a PREFIX of the sort key), with per-language parallelism
     4096 instead of 1. Oracle: identical integer arithmetic in DuckDB
     (which CAN afford the naive window)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     d = docs.select(
         "doc_id", "lang",
         F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
@@ -1517,8 +1554,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = (
         per.crossJoin(F.broadcast(tot))
         .withColumn("b", F.expr(f"n div {SAMPLE_DENOM}"))
-        .withColumn("base", F.expr("(b * lang_n) div n"))
-        .withColumn("rem", F.expr("(b * lang_n) % n"))
+        # b * lang_n is up to ~n^2/5, past int64 at the 10^12-row scale this
+        # query claims — widen the product to decimal(38,0) (good to ~1e38)
+        # so the quota arithmetic cannot wrap; results are integral either
+        # way, so the cast back to BIGINT is exact
+        .withColumn(
+            "base",
+            F.expr("CAST((CAST(b AS DECIMAL(38,0)) * lang_n) div n AS BIGINT)"))
+        .withColumn(
+            "rem",
+            F.expr("CAST((CAST(b AS DECIMAL(38,0)) * lang_n) % n AS BIGINT)"))
     )
     extra = p2.agg(
         (F.max("b") - F.sum("base")).cast("long").alias("extra"))
@@ -1610,7 +1655,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket rank from an ordinary per-bucket window. One corpus shuffle on
     the bucket key, exact and deterministic at any scale. Oracle: the
     single-window global row_number the small engine CAN afford."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     d = docs.select(
         "doc_id",
         F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
@@ -1664,7 +1709,7 @@ FROM p, n
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per language (training-data telemetry)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     t = docs.select("lang", tokens(F.col("text")).alias("t"))
     return (
         t.groupBy("lang")
@@ -1686,7 +1731,7 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-pretokenizer flavor: tokens/doc under the GPT-2
     split regex — the training-data budgeting counterpart of the whitespace
     token_stats query."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)))
     return (
         docs.select("lang", n_tok.alias("n_tok"))
@@ -1702,7 +1747,7 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score buckets: token count, type-token ratio, stopword ratio —
     the standard cheap text-quality heuristics, groupBy'd into buckets."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     scored = t.select(
@@ -1749,7 +1794,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: a pure map-only pass fused into the scan — zero shuffles;
     regexp runs JVM-side in whole-stage codegen, never Python."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     planted = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(F.col("text"),
@@ -1801,7 +1846,7 @@ def q_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: explode -> distinct (doc, shingle) -> groupBy shingle (map-side
     combined) -> bounded groupBy over df values. Output is df-histogram
     sized (hundreds of rows), never corpus-sized."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("sh"))
     df_t = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -1837,7 +1882,7 @@ def q_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable form is the two-pass quantile cut (corpus_length_profile's
     percentile to find the threshold, then a map-only filter); this window
     form is exact and what the oracle proves."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
     scored = t.select(
         "doc_id", "lang",
@@ -1885,7 +1930,7 @@ FROM r
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (stopword voting with deterministic tie-break)
     cross-tabulated against the labeled lang column."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     profiles = {"en": ("the", "a", "of"), "de": ("der", "und", "das"),
                 "fr": ("le", "la", "et"), "es": ("el", "la", "y"),
                 "zh": ("de", "le", "shi")}
@@ -1920,7 +1965,7 @@ def _cosine(a, b):
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 20 query vectors —
     the ANN baseline (broadcast the tiny query side; one pass over the corpus)."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -1958,7 +2003,7 @@ def q_multimodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment_filter)."""
     from .operators.ann import alignment_filter
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     n = emb.agg(F.count("*").alias("n_total"))
@@ -2009,7 +2054,7 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the generated DuckDB oracle."""
     from .operators.ann import ann_topk_lsh
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return ann_topk_lsh(emb, EMB_DIM)
 
 
@@ -2019,7 +2064,7 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of the hyperplane-LSH path."""
     from .operators.ann import ann_topk_ivf
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return ann_topk_ivf(emb, EMB_DIM)
 
 
@@ -2037,7 +2082,7 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .plans.ann_index import build_ann_index, probe_ann_index
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     # pid-scoped root: concurrent gate/bench processes must not race on the
     # same store (StageStore.write clears and rewrites the stage dir)
     root = os.path.join(
@@ -2063,7 +2108,7 @@ def q_ann_index_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.ann_index import (append_ann_index, build_ann_index,
                                   probe_ann_index)
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     root = os.path.join(
         "/tmp", "ann_index_store",
         f"inc-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
@@ -2085,7 +2130,7 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the 10^12-row rationale). Integer-exact, DuckDB-twinned."""
     from .operators.ann import ann_topk_ivfpq
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return ann_topk_ivfpq(emb, EMB_DIM)
 
 
@@ -2100,7 +2145,7 @@ def q_ann_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors."""
     from .operators.ann import ann_topk_ivfpq
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return ann_topk_ivfpq(emb, EMB_DIM, rerank=IVFPQ_RERANK)
 
 
@@ -2114,7 +2159,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join). Oracle: generated DuckDB twin (identical planes/probing)."""
     from .operators.ann import cosine_neardup_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return cosine_neardup_pairs(emb, EMB_DIM, threshold=NEARDUP_COS_T)
 
 
@@ -2131,7 +2176,7 @@ def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.candidates import canonical_pairs
     from .operators.components import connected_components
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     pairs = cosine_neardup_pairs(emb, EMB_DIM, threshold=NEARDUP_COS_T)
     p = pairs.select(F.format_string("%012d", "id_a").alias("id_a"),
                      F.format_string("%012d", "id_b").alias("id_b"))
@@ -2228,7 +2273,7 @@ def q_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting, capping, or verify shows up as a hash mismatch."""
     from .operators.simhash import near_image_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     imgs = docs.select(
         F.format_string("%012d", "doc_id").alias("image_id"),
         F.expr(synth_phash_sql("spark", "doc_id")).alias("phash"),
@@ -2263,7 +2308,7 @@ def q_image_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     preference order (LuceneIndexSearcher.java:131-170)."""
     from .plans.image_index import build_image_index, probe_images
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     base = docs.select(
         "doc_id",
         F.format_string("%012d", "doc_id").alias("image_id"),
@@ -2304,7 +2349,7 @@ def q_image_index_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .plans.image_index import build_image_index, probe_and_extend
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     base = docs.select(
         "doc_id",
         F.format_string("%012d", "doc_id").alias("image_id"),
@@ -2419,7 +2464,7 @@ def q_caption_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the minhash_lsh_pairs argument, cross-set form)."""
     from .plans.caption_index import build_caption_index, probe_captions
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     base = docs.select(
         "doc_id",
         F.format_string("%012d", "doc_id").alias("image_id"),
@@ -2490,7 +2535,7 @@ def _pipeline_feature_frames(spark: SparkSession, sf_dir: str):
     """The deterministic (images, digests) feature frames both engines derive
     from `documents` (digest = md5(text), phash = synth plant, caption =
     text) — shared by the pipeline_* and tier_overlap gate rows."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     imgs = docs.select(
         F.format_string("%012d", "doc_id").alias("image_id"),
         F.col("text").alias("caption"),
@@ -2594,8 +2639,12 @@ def q_tier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pipeline import candidate_edges
 
     imgs, digests = _pipeline_feature_frames(spark, sf_dir)
+    # round 5: the ablation includes the optional WINNOW tier (off in the
+    # default pipeline) so its marginal pair signature — pairs NO other tier
+    # finds — is cross-engine measured, not asserted (VERDICT r4 item #4)
     raw = candidate_edges(
-        imgs, DEFAULT, tiers=("exact", "near_image", "near_caption"),
+        imgs, DEFAULT, tiers=("exact", "near_image", "near_caption",
+                              "winnow"),
         verify_pixels=False, digests=digests, dedup_pairs=False,
     )
     sig = (
@@ -2667,7 +2716,7 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10x slower on real corpora; same trade as the MinHash path."""
     from .operators.simhash import near_image_pairs, simhash_features
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     aug = docs.select(F.col("doc_id").alias("item_id"), "text").unionAll(
         docs.filter(F.col("doc_id") % 3 == 1).select(
             (F.col("doc_id") + 10_000_000).alias("item_id"),
@@ -2768,7 +2817,7 @@ def q_near_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encode 16/20 frames within Hamming 1 -> score 0.8 >= the 0.5 gate."""
     from .operators.video import near_video_pairs_from_frames
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     frames = docs.select(
         F.format_string("%012d", F.expr("doc_id DIV 20")).alias("video_id"),
         (F.col("doc_id") % 20).cast("int").alias("frame_idx"),
@@ -2817,7 +2866,7 @@ def q_near_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would bind at larger scale."""
     from .operators.audio import near_audio_pairs_from_prints
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     prints = docs.select(
         F.format_string("%012d", F.expr("doc_id DIV 20")).alias("audio_id"),
         (F.col("doc_id") % 20).cast("int").alias("win_idx"),
@@ -2953,7 +3002,7 @@ def q_corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     language is ~8 GB — near the comfort edge; the documented relaxation is
     approx_percentile with a stated error budget, same plan shape).
     mean/count piggyback as map-side partial aggregates."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     n_tok = F.size(tokens(F.col("text"))).cast("long")
     pct = F.percentile(F.col("n_tok"), F.array(*[F.lit(p) for p in
                                                  (0.1, 0.5, 0.9, 0.99)]))
@@ -3004,7 +3053,7 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     join AQE skew-split handles (the df side has ONE row per token, so no
     broadcast needed beyond vocabulary scale); the final top-3 is one window
     on doc_id."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     term = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf"))
@@ -3473,7 +3522,46 @@ def q_novel_by_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novel.groupBy("mime").agg(F.count("*").alias("n_novel"))
 
 
+# Key order is load-bearing: the round driver's correctness gate persists only
+# the FIRST 50 keys (`list(QUERIES)[:50]`).  Round-5 rotation (VERDICT.md r4
+# item #1): slots 1-14 are the queries never driver-gated in rounds 1-4
+# (flagship first), slots 15-30 the rest of the round-4-absent set, then the
+# previously-gated queries — new queries this round must be INSERTED before
+# slot 50, not appended.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-gated before round 5 --------------------------------
+    "image_dedup_verdicts": q_image_dedup_verdicts,
+    "near_audio_pairs": q_near_audio_pairs,
+    "near_video_pairs": q_near_video_pairs,
+    "cluster_retract_repair": q_cluster_retract_repair,
+    "cluster_cohesion": q_cluster_cohesion,
+    "tier_overlap": q_tier_overlap,
+    "pipeline_metrics": q_pipeline_metrics,
+    "ann_index_probe": q_ann_index_probe,
+    "ann_index_increments": q_ann_index_increments,
+    "image_index_increments": q_image_index_increments,
+    "multimodal_alignment": q_multimodal_alignment,
+    "pii_redact": q_pii_redact,
+    "shingle_df_histogram": q_shingle_df_histogram,
+    "quality_topk_per_lang": q_quality_topk_per_lang,
+    # -- absent from the round-4 gate (gated in earlier rounds) -----------
+    "token_stats": q_token_stats,
+    "token_stats_bpe": q_token_stats_bpe,
+    "quality_scores": q_quality_scores,
+    "langid_confusion": q_langid_confusion,
+    "embedding_topk": q_embedding_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "ann_topk_ivfpq_rerank": q_ann_topk_ivfpq_rerank,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "embedding_dedup_keep": q_embedding_dedup_keep,
+    "phash_neardup_pairs": q_phash_neardup_pairs,
+    "image_index_probe": q_image_index_probe,
+    "caption_index_probe": q_caption_index_probe,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "pipeline_verdicts": q_pipeline_verdicts,
+    # -- gated green in round 4 (rotation pool fills the remaining slots) --
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "region_customer_stats": q_region_customer_stats,
@@ -3524,36 +3612,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_mix": q_training_mix,
     "stratified_sample": q_stratified_sample,
     "corpus_shuffle": q_corpus_shuffle,
-    "token_stats": q_token_stats,
-    "token_stats_bpe": q_token_stats_bpe,
-    "quality_scores": q_quality_scores,
-    "quality_topk_per_lang": q_quality_topk_per_lang,
-    "shingle_df_histogram": q_shingle_df_histogram,
-    "pii_redact": q_pii_redact,
-    "langid_confusion": q_langid_confusion,
-    "embedding_topk": q_embedding_topk,
-    "multimodal_alignment": q_multimodal_alignment,
-    "ann_topk_lsh": q_ann_topk_lsh,
-    "ann_topk_ivf": q_ann_topk_ivf,
-    "ann_index_probe": q_ann_index_probe,
-    "ann_index_increments": q_ann_index_increments,
-    "ann_topk_ivfpq": q_ann_topk_ivfpq,
-    "ann_topk_ivfpq_rerank": q_ann_topk_ivfpq_rerank,
-    "embedding_neardup_pairs": q_embedding_neardup_pairs,
-    "embedding_dedup_keep": q_embedding_dedup_keep,
-    "phash_neardup_pairs": q_phash_neardup_pairs,
-    "image_index_probe": q_image_index_probe,
-    "image_index_increments": q_image_index_increments,
-    "caption_index_probe": q_caption_index_probe,
-    "simhash_neardup_pairs": q_simhash_neardup_pairs,
-    "pipeline_verdicts": q_pipeline_verdicts,
-    "pipeline_metrics": q_pipeline_metrics,
-    "tier_overlap": q_tier_overlap,
-    "cluster_cohesion": q_cluster_cohesion,
-    "cluster_retract_repair": q_cluster_retract_repair,
-    "near_video_pairs": q_near_video_pairs,
-    "near_audio_pairs": q_near_audio_pairs,
-    "image_dedup_verdicts": q_image_dedup_verdicts,
 }
 
 
@@ -4197,10 +4255,34 @@ FROM sz JOIN ne ON ne.cluster_id = sz.cluster_id
 # tier_overlap: pairs grouped by the SET of tiers that found them — the twin
 # aggregates the same tier_edges CTE the pipeline graph is built from, so a
 # green row proves the raw (pre-priority-window) per-tier pair sets agree
-# cross-engine, not just the collapsed best-tier edges.
+# cross-engine, not just the collapsed best-tier edges. Round 5 adds the
+# optional WINNOW tier to the ablation (same fingerprint CTEs as the
+# winnow_fingerprint_pairs oracle; edge gate = shared/least(n_a, n_b) >=
+# winnow_min_score, mirroring plans/pipeline.py's winnow part) so the
+# 'winnow'-only signature row IS the tier's measured marginal value.
 ORACLES["tier_overlap"] = f"""
 WITH {_TIER_EDGES_CTES},
-dist AS (SELECT DISTINCT id_a, id_b, tier FROM tier_edges),
+{_winnow_fp_ctes("wfp").lstrip()},
+wn_n AS (SELECT doc_id, count(*) AS n FROM wfp GROUP BY doc_id),
+wn_rare AS (SELECT fp FROM wfp GROUP BY fp
+            HAVING count(*) <= {WINNOW_DF_CAP}),
+wn_post AS (SELECT f.doc_id, f.fp FROM wfp f JOIN wn_rare USING (fp)),
+wn_p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM wn_post a JOIN wn_post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+),
+wn AS (
+  SELECT p.id_a, p.id_b
+  FROM wn_p p JOIN wn_n na ON na.doc_id = p.id_a
+              JOIN wn_n nb ON nb.doc_id = p.id_b
+  WHERE p.shared * 1.0 / least(na.n, nb.n) >= {DEFAULT.winnow_min_score}
+),
+tier_edges5 AS (
+  SELECT id_a, id_b, tier FROM tier_edges
+  UNION ALL SELECT id_a, id_b, 'winnow' FROM wn
+),
+dist AS (SELECT DISTINCT id_a, id_b, tier FROM tier_edges5),
 sig AS (
   SELECT id_a, id_b, string_agg(tier, '+' ORDER BY tier) AS tiers
   FROM dist GROUP BY id_a, id_b

@@ -59,8 +59,8 @@ def error_profile(bands: int, rows: int, t: float,
 class LshPlan:
     bands: int
     rows: int
-    fn: float           # mean miss prob above threshold
-    fp: float           # mean candidate prob below threshold
+    fn: float           # integral of miss prob over [t, 1]
+    fp: float           # integral of candidate prob over [0, t)
     miss_at_t: float    # miss prob exactly at the threshold
     cost: float
 

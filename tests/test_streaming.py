@@ -855,3 +855,14 @@ def test_streaming_neardup_restart_smaller_cap_still_matches(
     assert len(d0) == 1
     assert d0[0]["ref_id"] == "M3" and d0[0]["hamming"] == 1
     assert not d0[0]["capped"]
+
+
+def test_sharded_variants_are_the_default_entry_points():
+    """VERDICT r4 item #3: the package-level streaming defaults must route
+    to the SHARDED state layouts (5.3x/2.4x ingest at equal verdicts);
+    the fine-grained forms stay available as the semantic reference."""
+    from deduplicator_spark import streaming
+
+    assert streaming.dup_stats is streaming.streaming_dup_stats_sharded
+    assert streaming.neardup_dedup is streaming.streaming_neardup_dedup_sharded
+    assert streaming.dup_stats is not streaming.streaming_dup_stats
