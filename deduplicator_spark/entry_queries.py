@@ -3070,6 +3070,123 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_QUOTA_CAP = 20     # max docs kept per source (C4/RefinedWeb-style)
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-domination rule every web-scale
+    curation pipeline applies (C4 and successors cap per-registered-domain
+    page counts so one boilerplate-heavy site cannot dominate the mix): keep
+    at most DOMAIN_QUOTA_CAP docs per `source`, membership decided by md5
+    hash rank so the kept set is reproducible, uniform within the domain,
+    and stable under corpus reordering.
+
+    100 TB shape: a naive per-source row_number window puts an entire
+    domain in ONE partition (a hot domain is millions of rows). Because
+    only the TOP-cap survive, this runs the classic distributed top-k
+    instead: stage 1 ranks within (source, 3-hex-char hash-prefix bucket) —
+    4096-way parallel per source — and keeps at most cap per
+    bucket; stage 2 re-ranks the survivors, whose count is bounded by
+    buckets x cap PER SOURCE regardless of corpus size (bounded window,
+    not corpus-growing). The bucket is a PREFIX of the sort key, so the
+    composition equals the naive global rank exactly — the oracle IS that
+    naive rank (DuckDB can afford it at gate scale)."""
+    docs = load_documents(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+        .alias("hk"),
+    ).withColumn(
+        "bucket", F.conv(F.substring("hk", 1, 3), 16, 10).cast("int"))
+    w1 = Window.partitionBy("source", "bucket").orderBy("hk", "doc_id")
+    stage1 = (d.withColumn("_r1", F.row_number().over(w1))
+              .filter(F.col("_r1") <= DOMAIN_QUOTA_CAP))
+    w2 = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        stage1.withColumn("src_rank",
+                          F.row_number().over(w2).cast("long"))
+        .filter(F.col("src_rank") <= DOMAIN_QUOTA_CAP)
+        .select("doc_id", "source", "src_rank")
+    )
+
+
+_DOMAIN_QUOTA_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         md5('quota:' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+  FROM d
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS src_rank
+FROM r WHERE rk <= {DOMAIN_QUOTA_CAP}
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality score (the CCNet idea — rank documents
+    by how improbable their tokens are under a corpus language model — with
+    the LM reduced to its unigram term, which needs no external model):
+    per-document mean token surprisal against the corpus unigram
+    distribution. Low bits/token = repetitive high-frequency text
+    (boilerplate, listings); high = rare-token soup (gibberish, codes);
+    the curation filter cuts both tails.
+
+    Cross-engine exactness (the distinctive_terms lesson): -log2 p is
+    transcendental, and JVM StrictMath vs libm can differ in the last ulp,
+    so the per-token surprisal is the INTEGER surrogate
+    floor(log2(total div c)) = length(bin(total div c)) - 1 — pure integer
+    arithmetic in both engines; sums of integers have no float-ordering
+    hazard and bits_per_token divides two identical longs, so the doubles
+    are bit-identical.
+
+    100 TB shape: explode -> groupBy(tok) with map-side combine builds the
+    unigram table (vocabulary-bounded, one row per token); the join back on
+    tok is the stopword-skewed join AQE skew-split handles; the scalar
+    total rides a 1-row broadcast; final per-doc agg is one shuffle."""
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("total"))
+    scored = (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bits",
+            (F.length(F.expr("bin(total div c)")) - 1).cast("long"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+             F.sum("bits").cast("long").alias("sum_bits"))
+        .withColumn("bits_per_token",
+                    F.round(F.col("sum_bits") / F.col("n_tokens"), 6))
+    )
+
+
+_UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+scored AS (
+  SELECT t.doc_id, length(bin(total // c)) - 1 AS bits
+  FROM toks t JOIN cnt USING (tok) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(bits) AS BIGINT) AS sum_bits,
+       round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS bits_per_token
+FROM scored GROUP BY doc_id
+"""
+
+
 _DISTINCTIVE_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -3561,6 +3678,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_index_probe": q_caption_index_probe,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "pipeline_verdicts": q_pipeline_verdicts,
+    # -- new in round 5 (inserted BEFORE slot 50 so they gate immediately) --
+    "domain_quota": q_domain_quota,
+    "unigram_surprisal": q_unigram_surprisal,
     # -- gated green in round 4 (rotation pool fills the remaining slots) --
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -3687,6 +3807,8 @@ FROM events GROUP BY 1, 2
     "event_type_pivot": _PIVOT_SQL,
     "corpus_length_profile": _LENGTH_PROFILE_SQL,
     "distinctive_terms": _DISTINCTIVE_SQL,
+    "domain_quota": _DOMAIN_QUOTA_SQL,
+    "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
     "canonicalize_urls": f"""
 WITH u AS (
   SELECT event_id,
