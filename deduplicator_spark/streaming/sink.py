@@ -71,12 +71,19 @@ def exactly_once_committer(root: str):
 
 
 def write_exactly_once(df: DataFrame, root: str, checkpoint_dir: str,
-                       trigger_available_now: bool = True, **trigger):
-    """Start an exactly-once parquet sink for a streaming DataFrame."""
+                       trigger_available_now: bool = True,
+                       output_mode: str | None = None, **trigger):
+    """Start an exactly-once parquet sink for a streaming DataFrame.
+
+    ``output_mode`` must match the frame's operator ("update" for the
+    stateful dup-stats operators, "append"/default otherwise) — foreachBatch
+    accepts any mode, since the committer sees whole micro-batch frames."""
     w = (
         df.writeStream.foreachBatch(exactly_once_committer(root))
         .option("checkpointLocation", checkpoint_dir)
     )
+    if output_mode is not None:
+        w = w.outputMode(output_mode)
     if trigger_available_now and not trigger:
         w = w.trigger(availableNow=True)
     elif trigger:
